@@ -1,0 +1,12 @@
+from covomix_tpu.audio.mel import MelConfig, mel_spectrogram, mel_filterbank, log_mel_floor
+from covomix_tpu.audio.wav import load_wav, save_wav, resample
+
+__all__ = [
+    "MelConfig",
+    "mel_spectrogram",
+    "mel_filterbank",
+    "log_mel_floor",
+    "load_wav",
+    "save_wav",
+    "resample",
+]

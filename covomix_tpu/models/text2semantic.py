@@ -1,0 +1,458 @@
+"""Text -> HuBERT-semantic-token transformer (CoSingle / CoMix), TPU-native.
+
+Re-implements covomix/covomix_model/text2semantic.py:403-1252:
+  * non-causal source (text) encoder, depth 4, rotary positions (interleaved
+    lucidrains convention, rotary_embedding_torch.py:36-49)
+  * causal target (semantic) decoder with cross-attention (+learned null-KV),
+    GEGLU feed-forward, weight-tied token embedding / logit projection
+    (text2semantic.py:535-552)
+  * autoregressive decode with per-layer KV cache, top-k + Gumbel sampling,
+    EOS auto-set/stop, `mask_after_eos` cleanup (text2semantic.py:662-848)
+  * CoMix two-stream decode (`two_output`): decoder hidden split in half, each
+    half projected to its own logits -> two parallel token streams
+    (text2semantic.py:754-832)
+  * training forward with teacher forcing + CE (ignore pad), incl. dual-stream
+    CE sum (text2semantic.py:851-1089)
+
+TPU-first design decisions:
+  * `generate` is ONE jitted `lax.while_loop` over a static max_length with a
+    preallocated KV cache; rotary is absolute-position so cached keys are
+    rotated once at write time (the reference re-rotates the whole cache every
+    step, text2semantic.py:249-251)
+  * cross-attention K/V over the source are computed once before the loop
+    (the reference recomputes them every decode step)
+  * classifier-free guidance folds the (cond, null-context) pair into the batch
+    axis: one forward at 2B per step instead of two sequential decoder calls
+    (text2semantic.py:780-792)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from covomix_tpu.models import layers as L
+from covomix_tpu.ops import sampling as S
+
+
+@dataclasses.dataclass(frozen=True)
+class T2SConfig:
+    dim: int = 512                    # encoder width
+    source_depth: int = 4
+    target_depth: int = 4
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+    num_text_tokens: int = 30528      # text vocab (without the auto EOS row)
+    num_semantic_tokens: int = 501    # semantic vocab (without the auto EOS row)
+    target_dim: int = 512             # decoder width (1024 for CoMix)
+    two_output: bool = False          # CoMix dual-stream decode
+    two_input: bool = False           # speechturn_refiner dual text streams
+    no_source_transformer: bool = False
+    text_pad_id: int = 0
+    semantic_pad_id: int = -1
+    cond_drop_prob: float = 0.0
+    classifier_free_guidance: bool = False
+
+    @property
+    def text_eos_id(self) -> int:
+        return self.num_text_tokens
+
+    @property
+    def semantic_eos_id(self) -> int:
+        return self.num_semantic_tokens
+
+    @property
+    def text_emb_dim(self) -> int:
+        return self.dim // 2 if self.two_input else self.dim
+
+    @property
+    def sem_emb_dim(self) -> int:
+        return self.target_dim // 2 if self.two_output else self.target_dim
+
+    @property
+    def ff_inner(self) -> int:
+        # GEGLU inner dim = int(dim * mult * 2/3) (text2semantic.py:159-167)
+        return int(self.dim * self.ff_mult * 2 / 3)
+
+    @property
+    def target_ff_inner(self) -> int:
+        return int(self.target_dim * self.ff_mult * 2 / 3)
+
+
+def _attn_init(key, dim, heads, dim_head, *, dim_context=None, null_kv=False):
+    dim_context = dim_context or dim
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm": L.rmsnorm_init(dim),
+        "q": L.linear_init(k1, dim, heads * dim_head, bias=False),
+        "kv": L.linear_init(k2, dim_context, heads * dim_head * 2, bias=False),
+        "out": L.linear_init(k3, heads * dim_head, dim, bias=False),
+    }
+    if null_kv:
+        p["null_kv"] = jax.random.normal(jax.random.fold_in(key, 7), (2, heads, 1, dim_head), jnp.float32)
+    return p
+
+
+def _ff_init(key, dim, inner):
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm": L.rmsnorm_init(dim),
+        "w1": L.linear_init(k1, dim, inner * 2),
+        "w2": L.linear_init(k2, inner, dim),
+    }
+
+
+def init(key, cfg: T2SConfig):
+    keys = iter(jax.random.split(key, 8 + 3 * (cfg.source_depth + cfg.target_depth)))
+    p = {
+        "text_emb": L.embedding_init(next(keys), cfg.num_text_tokens + 1, cfg.text_emb_dim),
+        "sem_emb": L.embedding_init(next(keys), cfg.num_semantic_tokens + 1, cfg.sem_emb_dim),
+        "start_text": jax.random.normal(next(keys), (cfg.dim,), jnp.float32),
+        "start_speech": jax.random.normal(next(keys), (cfg.target_dim,), jnp.float32),
+        "source_final_norm": L.rmsnorm_init(cfg.dim),
+        "target_final_norm": L.rmsnorm_init(cfg.target_dim),
+    }
+    if cfg.classifier_free_guidance:
+        p["null_source_embedding"] = jnp.zeros((cfg.dim,), jnp.float32)
+    if not cfg.no_source_transformer:
+        p["source_layers"] = [
+            {
+                "self_attn": _attn_init(next(keys), cfg.dim, cfg.heads, cfg.dim_head),
+                "ff": _ff_init(next(keys), cfg.dim, cfg.ff_inner),
+            }
+            for _ in range(cfg.source_depth)
+        ]
+    p["target_layers"] = [
+        {
+            "self_attn": _attn_init(next(keys), cfg.target_dim, cfg.heads, cfg.dim_head),
+            "cross_attn": _attn_init(next(keys), cfg.target_dim, cfg.heads, cfg.dim_head, dim_context=cfg.dim, null_kv=True),
+            "ff": _ff_init(next(keys), cfg.target_dim, cfg.target_ff_inner),
+        }
+        for _ in range(cfg.target_depth)
+    ]
+    return p
+
+
+def _ff(p, x):
+    h = L.linear(p["w1"], L.rmsnorm(p["norm"], x))
+    return L.linear(p["w2"], L.geglu(h))
+
+
+def _self_attn_full(p, x, heads, *, mask=None, causal=False, rotary=True):
+    """Full-sequence self-attention (training / encoder)."""
+    h = L.rmsnorm(p["norm"], x)
+    q = L.split_heads(L.linear(p["q"], h), heads)
+    k, v = jnp.split(L.linear(p["kv"], h), 2, axis=-1)
+    k, v = L.split_heads(k, heads), L.split_heads(v, heads)
+    if rotary:
+        inv = L.rotary_freqs(q.shape[-1])
+        pos = jnp.arange(x.shape[1])
+        q, k = L.rotary_interleaved(pos, inv, q), L.rotary_interleaved(pos, inv, k)
+    out = L.attend(q, k, v, key_mask=mask, causal=causal)
+    return L.linear(p["out"], L.merge_heads(out))
+
+
+def _cross_attn(p, x, context_kv, heads, *, context_mask=None):
+    """Cross-attention with prepended learned null-KV (text2semantic.py:253-260).
+    context_kv: precomputed (k, v) [B,H,S,dh] WITHOUT the null slot."""
+    h = L.rmsnorm(p["norm"], x)
+    q = L.split_heads(L.linear(p["q"], h), heads)
+    k, v = context_kv
+    b = x.shape[0]
+    nk = jnp.broadcast_to(p["null_kv"][0].astype(k.dtype), (b,) + p["null_kv"][0].shape)
+    nv = jnp.broadcast_to(p["null_kv"][1].astype(v.dtype), (b,) + p["null_kv"][1].shape)
+    k = jnp.concatenate([nk, k], axis=-2)
+    v = jnp.concatenate([nv, v], axis=-2)
+    if context_mask is not None:
+        context_mask = jnp.concatenate([jnp.ones((b, 1), bool), context_mask], axis=-1)
+    out = L.attend(q, k, v, key_mask=context_mask)
+    return L.linear(p["out"], L.merge_heads(out))
+
+
+def _context_kv(p_cross, context, heads):
+    k, v = jnp.split(L.linear(p_cross["kv"], context), 2, axis=-1)
+    return L.split_heads(k, heads), L.split_heads(v, heads)
+
+
+def encode_source(params, cfg: T2SConfig, source_emb, source_mask, dtype=jnp.float32):
+    """Source transformer (non-causal, rotary) + final RMSNorm
+    (text2semantic.py:274-375, :556-570)."""
+    x = source_emb.astype(dtype)
+    if cfg.no_source_transformer:
+        return x  # empty_identity_encoder (text2semantic.py:385-400)
+    for lp in params["source_layers"]:
+        x = _self_attn_full(lp["self_attn"], x, cfg.heads, mask=source_mask) + x
+        x = _ff(lp["ff"], x) + x
+    return L.rmsnorm(params["source_final_norm"], x)
+
+
+def embed_source(params, cfg: T2SConfig, source_ids, dtype=jnp.float32):
+    """Token ids -> embeddings; two_input concatenates both streams' halves
+    (text2semantic.py:730-736)."""
+    ids = jnp.clip(source_ids, 0, cfg.num_text_tokens)
+    if cfg.two_input:
+        e1 = L.embedding(params["text_emb"], ids[..., 0], dtype)
+        e2 = L.embedding(params["text_emb"], ids[..., 1], dtype)
+        return jnp.concatenate([e1, e2], axis=-1)
+    return L.embedding(params["text_emb"], ids, dtype)
+
+
+def _embed_target(params, cfg: T2SConfig, t1, t2, dtype):
+    e = L.embedding(params["sem_emb"], jnp.clip(t1, 0, cfg.num_semantic_tokens), dtype)
+    if cfg.two_output:
+        e2 = L.embedding(params["sem_emb"], jnp.clip(t2, 0, cfg.num_semantic_tokens), dtype)
+        e = jnp.concatenate([e, e2], axis=-1)
+    return e
+
+
+def _sem_logits(params, h, dtype):
+    """Weight-tied logits: h @ emb.T (text2semantic.py:535-545); includes the EOS row."""
+    return (h @ params["sem_emb"]["w"].astype(dtype).T).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# training forward (text2semantic.py:851-1089)
+
+
+def forward_loss(
+    params,
+    cfg: T2SConfig,
+    source_ids: jnp.ndarray,     # [B, S] or [B, S, 2] (two_input)
+    target_ids: jnp.ndarray,     # [B, T] or [B, T, 2] (two_output); pad = collate pad (501)
+    *,
+    key=None,
+    source_mask: Optional[jnp.ndarray] = None,
+    cond_drop: bool = False,
+    dtype=jnp.float32,
+    return_logits: bool = False,
+):
+    """Teacher-forced CE. Targets arrive padded with the collate pad value 501
+    (data_module.py:853); semantic_pad_id=-1 means every position counts in the
+    CE, matching the reference (ignore_index=-1 never fires)."""
+    # auto EOS on source (text2semantic.py:915-917)
+    if cfg.two_input:
+        s1 = S.set_eos_id(source_ids[..., 0], cfg.text_eos_id, cfg.text_pad_id)
+        s2 = S.set_eos_id(source_ids[..., 1], cfg.text_eos_id, cfg.text_pad_id)
+        source_ids = jnp.stack([s1, s2], axis=-1)
+        src_flat = s1
+    else:
+        source_ids = S.set_eos_id(source_ids, cfg.text_eos_id, cfg.text_pad_id)
+        src_flat = source_ids
+    if source_mask is None:
+        source_mask = src_flat != cfg.text_pad_id
+
+    # auto EOS on target (text2semantic.py:921-926)
+    if cfg.two_output:
+        t1 = S.set_eos_id(target_ids[..., 0], cfg.semantic_eos_id, cfg.semantic_pad_id)
+        t2 = S.set_eos_id(target_ids[..., 1], cfg.semantic_eos_id, cfg.semantic_pad_id)
+    else:
+        t1 = S.set_eos_id(target_ids if target_ids.ndim == 2 else target_ids[..., 0], cfg.semantic_eos_id, cfg.semantic_pad_id)
+        t2 = t1
+
+    target_mask = t1 != cfg.semantic_pad_id
+    # attend to BOS (text2semantic.py:934-938)
+    dec_mask = jnp.concatenate([jnp.ones((t1.shape[0], 1), bool), target_mask], axis=-1)
+
+    source_emb = embed_source(params, cfg, source_ids, dtype)
+    context = encode_source(params, cfg, source_emb, source_mask, dtype)
+
+    context_mask = source_mask
+    if cfg.classifier_free_guidance and cond_drop and key is not None:
+        drop = jax.random.uniform(key, (context.shape[0],)) < cfg.cond_drop_prob
+        context = jnp.where(drop[:, None, None], params["null_source_embedding"].astype(dtype)[None, None, :], context)
+
+    start = jnp.broadcast_to(params["start_speech"].astype(dtype), (t1.shape[0], 1, cfg.target_dim))
+    tgt_in = jnp.concatenate([start, _embed_target(params, cfg, t1, t2, dtype)], axis=1)
+
+    x = tgt_in
+    for lp in params["target_layers"]:
+        x = _self_attn_full(lp["self_attn"], x, cfg.heads, mask=dec_mask, causal=True) + x
+        ckv = _context_kv(lp["cross_attn"], context, cfg.heads)
+        x = _cross_attn(lp["cross_attn"], x, ckv, cfg.heads, context_mask=context_mask) + x
+        x = _ff(lp["ff"], x) + x
+    x = L.rmsnorm(params["target_final_norm"], x)
+
+    def ce(logits, tgt):
+        # logits [B, T+1, V] -> drop last position; CE vs tgt [B, T+1... wait T]
+        logits = logits[:, :-1]
+        valid = tgt != cfg.semantic_pad_id
+        tgt_c = jnp.clip(tgt, 0, cfg.num_semantic_tokens)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt_c[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+    if cfg.two_output:
+        half = cfg.target_dim // 2
+        logits1 = _sem_logits(params, x[..., :half], dtype)
+        logits2 = _sem_logits(params, x[..., half:], dtype)
+        loss = ce(logits1, t1) + ce(logits2, t2)
+        if return_logits:
+            return loss, (logits1, logits2)
+        return loss
+    logits = _sem_logits(params, x, dtype)
+    loss = ce(logits, t1)
+    if return_logits:
+        return loss, logits
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# autoregressive decode (text2semantic.py:662-848)
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray        # [B, L] stream-1 tokens, pad-filled after EOS
+    tokens2: jnp.ndarray       # [B, L] stream-2 (== tokens when not two_output)
+    lengths: jnp.ndarray       # [B] number of decoded positions (incl. EOS)
+    lengths2: jnp.ndarray
+    num_steps: jnp.ndarray     # scalar: decode iterations executed
+
+
+def generate(
+    params,
+    cfg: T2SConfig,
+    key,
+    source_ids: jnp.ndarray,   # [B, S] (or [B, S, 2] two_input)
+    *,
+    max_length: int = 2048,
+    temperature: float = 1.0,
+    top_k_thres: float = 0.1,
+    cond_scale: float = 1.0,
+    dtype=jnp.float32,
+) -> GenerateResult:
+    """Jit-compatible greedy/top-k AR decode with static max_length.
+
+    Faithful to TextToSemantic.generate (text2semantic.py:749-826): per step ->
+    logits of the last position -> top-k filter (k=ceil(0.1*vocab)) -> Gumbel
+    sample; stop when every row has emitted EOS (two_output: when either stream
+    has); after stopping, positions after EOS become pad via mask_after_eos.
+    The pad fill value is semantic_pad_id (-1), which the pipeline strips."""
+    b = source_ids.shape[0]
+    heads, depth, dh = cfg.heads, cfg.target_depth, cfg.dim_head
+    eos = cfg.semantic_eos_id
+    pad = cfg.semantic_pad_id
+
+    # ---- encode source once
+    if cfg.two_input:
+        s1 = S.set_eos_id(source_ids[..., 0], cfg.text_eos_id, cfg.text_pad_id)
+        s2 = S.set_eos_id(source_ids[..., 1], cfg.text_eos_id, cfg.text_pad_id)
+        source_ids = jnp.stack([s1, s2], axis=-1)
+        src_flat = s1
+    else:
+        source_ids = S.set_eos_id(source_ids, cfg.text_eos_id, cfg.text_pad_id)
+        src_flat = source_ids
+    source_mask = src_flat != cfg.text_pad_id
+    context = encode_source(params, cfg, embed_source(params, cfg, source_ids, dtype), source_mask, dtype)
+
+    use_cfg = cond_scale > 1.0
+    if use_cfg:
+        # fold the null-context branch into the batch (text2semantic.py:780-792)
+        context = jnp.concatenate([context, context], axis=0)
+        source_mask_all = jnp.concatenate([source_mask, jnp.zeros_like(source_mask)], axis=0)
+        bb = 2 * b
+    else:
+        source_mask_all = source_mask
+        bb = b
+
+    # precompute cross-attention K/V per layer (constant across decode steps)
+    cross_kvs = [_context_kv(lp["cross_attn"], context, heads) for lp in params["target_layers"]]
+
+    inv = L.rotary_freqs(dh)
+
+    cache_k = jnp.zeros((depth, bb, heads, max_length, dh), dtype)
+    cache_v = jnp.zeros((depth, bb, heads, max_length, dh), dtype)
+    tokens1 = jnp.full((b, max_length), pad, jnp.int32)
+    tokens2 = jnp.full((b, max_length), pad, jnp.int32)
+    done1 = jnp.zeros((b,), bool)
+    done2 = jnp.zeros((b,), bool)
+
+    def decode_step(i, tok1_prev, tok2_prev, cache_k, cache_v):
+        """One decoder forward for the token at position i. Returns logits + new cache."""
+        is_start = i == 0
+        e = _embed_target(params, cfg, tok1_prev, tok2_prev, dtype)  # [b, tdim]
+        x = jnp.where(is_start, params["start_speech"].astype(dtype)[None, :], e)
+        if use_cfg:
+            x = jnp.concatenate([x, x], axis=0)
+        x = x[:, None, :]  # [bb, 1, tdim]
+        pos = jnp.full((1,), i)
+        kmask = (jnp.arange(max_length)[None, :] <= i) & jnp.ones((bb, 1), bool)
+        new_ck, new_cv = [], []
+        for li, lp in enumerate(params["target_layers"]):
+            sa = lp["self_attn"]
+            h = L.rmsnorm(sa["norm"], x)
+            q = L.split_heads(L.linear(sa["q"], h), heads)
+            k_new, v_new = jnp.split(L.linear(sa["kv"], h), 2, axis=-1)
+            k_new, v_new = L.split_heads(k_new, heads), L.split_heads(v_new, heads)
+            q = L.rotary_interleaved(pos, inv, q)
+            k_new = L.rotary_interleaved(pos, inv, k_new)
+            ck = jax.lax.dynamic_update_slice(cache_k[li], k_new, (0, 0, i, 0))
+            cv = jax.lax.dynamic_update_slice(cache_v[li], v_new, (0, 0, i, 0))
+            new_ck.append(ck)
+            new_cv.append(cv)
+            att = L.attend(q, ck, cv, key_mask=kmask)
+            x = L.linear(sa["out"], L.merge_heads(att)) + x
+            x = _cross_attn(lp["cross_attn"], x, cross_kvs[li], heads, context_mask=source_mask_all) + x
+            x = _ff(lp["ff"], x) + x
+        x = L.rmsnorm(params["target_final_norm"], x)[:, 0]  # [bb, tdim]
+        return x, jnp.stack(new_ck), jnp.stack(new_cv)
+
+    def head_logits(h):
+        if cfg.two_output:
+            half = cfg.target_dim // 2
+            return _sem_logits(params, h[..., :half], dtype), _sem_logits(params, h[..., half:], dtype)
+        lg = _sem_logits(params, h, dtype)
+        return lg, lg
+
+    def cond(state):
+        i, _, _, _, _, done1, done2, _ = state
+        if cfg.two_output:
+            stop = jnp.all(done1) | jnp.all(done2)
+        else:
+            stop = jnp.all(done1)
+        return (i < max_length) & ~stop
+
+    def body(state):
+        i, tokens1, tokens2, cache_k, cache_v, done1, done2, key = state
+        key, k1, k2 = jax.random.split(key, 3)
+        prev1 = tokens1[:, jnp.maximum(i - 1, 0)]
+        prev2 = tokens2[:, jnp.maximum(i - 1, 0)]
+        h, cache_k, cache_v = decode_step(i, prev1, prev2, cache_k, cache_v)
+        lg1, lg2 = head_logits(h)
+        if use_cfg:
+            c1, n1 = lg1[:b], lg1[b:]
+            lg1 = n1 + (c1 - n1) * cond_scale
+            c2, n2 = lg2[:b], lg2[b:]
+            lg2 = n2 + (c2 - n2) * cond_scale
+        s1 = S.gumbel_sample(k1, S.top_k_filter(lg1, thres=top_k_thres), temperature).astype(jnp.int32)
+        tokens1 = jax.lax.dynamic_update_slice(tokens1, s1[:, None], (0, i))
+        done1 = done1 | (s1 == eos)
+        if cfg.two_output:
+            s2 = S.gumbel_sample(k2, S.top_k_filter(lg2, thres=top_k_thres), temperature).astype(jnp.int32)
+            tokens2 = jax.lax.dynamic_update_slice(tokens2, s2[:, None], (0, i))
+            done2 = done2 | (s2 == eos)
+        else:
+            tokens2 = tokens1
+            done2 = done1
+        return (i + 1, tokens1, tokens2, cache_k, cache_v, done1, done2, key)
+
+    state = (jnp.int32(0), tokens1, tokens2, cache_k, cache_v, done1, done2, key)
+    i, tokens1, tokens2, _, _, done1, done2, _ = jax.lax.while_loop(cond, body, state)
+
+    # invalidate never-written tail positions, then pad-after-EOS
+    valid = jnp.arange(max_length)[None, :] < i
+    tokens1 = jnp.where(valid, tokens1, pad)
+    tokens2 = jnp.where(valid, tokens2, pad)
+    stopped = jnp.all(done1) | (jnp.all(done2) if cfg.two_output else False)
+    # reference only masks after EOS when the loop broke (text2semantic.py:814-826)
+    m1 = S.mask_after_eos(tokens1, eos, pad)
+    m2 = S.mask_after_eos(tokens2, eos, pad)
+    tokens1 = jnp.where(stopped, m1, tokens1)
+    tokens2 = jnp.where(stopped, m2, tokens2)
+    len1 = jnp.sum(tokens1 != pad, axis=-1)
+    len2 = jnp.sum(tokens2 != pad, axis=-1)
+    return GenerateResult(tokens1, tokens2, len1, len2, i)
