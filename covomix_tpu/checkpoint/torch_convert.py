@@ -1,0 +1,328 @@
+"""Convert reference PyTorch checkpoints into covomix_tpu param pytrees.
+
+Three source formats (SURVEY §5 / conditional_model.py:192-217, hifi-gan/train.py:179-190,
+fairseq/checkpoint_utils.py:306-527):
+  1. PyTorch-Lightning `.ckpt` for acoustic / T2S models — `state_dict` under
+     `cfm_wrapper.*`, hyperparameters, and the EMA shadow params under key
+     `ema` (torch_ema format: shadow_params is a list aligned with the
+     requires_grad parameters in registration order).
+  2. HiFi-GAN dicts `{'generator': sd}` / `{'mpd','msd',...}` with weight-norm
+     (weight_g / weight_v) folded at conversion, matching remove_weight_norm
+     at load (covomix/vocoder/models.py:118-125).
+  3. fairseq HuBERT `.pt` (`model` state dict) + joblib k-means `.bin`
+     (sklearn KMeans `cluster_centers_`).
+
+Layout conventions (torch -> ours):
+  Linear        [out, in]        -> w [in, out]        (transpose)
+  Embedding     [V, d]           -> w [V, d]
+  Conv1d        [out, in/g, k]   -> w [k, in/g, out]   (transpose 2,1,0)
+  ConvTranspose1d [in, out, k]   -> w [k, in, out]     (transpose 2,0,1)
+  Conv2d        [out, in, kh, kw]-> w [kh, kw, in, out] (transpose 2,3,1,0)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# torch is only needed for reading .ckpt/.pt files; imported lazily so the
+# TPU runtime has no torch dependency.
+
+
+def _np(t):
+    import torch
+
+    if isinstance(t, torch.Tensor):
+        return t.detach().cpu().float().numpy()
+    return np.asarray(t, np.float32)
+
+
+def load_torch_file(path: str) -> dict:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _lin(sd, key):
+    p = {"w": _np(sd[key + ".weight"]).T}
+    if key + ".bias" in sd:
+        p["b"] = _np(sd[key + ".bias"])
+    return p
+
+
+def _conv1d(sd, key, suffix=".weight"):
+    p = {"w": _np(sd[key + suffix]).transpose(2, 1, 0)}
+    if key + ".bias" in sd:
+        p["b"] = _np(sd[key + ".bias"])
+    return p
+
+
+def _fold_wn(sd, key):
+    """Fold torch weight_norm (dim=0): w = g * v / ||v||_(dims!=0)."""
+    v = _np(sd[key + ".weight_v"])
+    g = _np(sd[key + ".weight_g"])
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def _conv1d_wn(sd, key):
+    if key + ".weight_v" in sd:
+        w = _fold_wn(sd, key)
+    else:
+        w = _np(sd[key + ".weight"])
+    p = {"w": w.transpose(2, 1, 0)}
+    if key + ".bias" in sd:
+        p["b"] = _np(sd[key + ".bias"])
+    return p
+
+
+def _convt1d_wn(sd, key):
+    if key + ".weight_v" in sd:
+        w = _fold_wn(sd, key)
+    else:
+        w = _np(sd[key + ".weight"])
+    p = {"w": w.transpose(2, 0, 1)}
+    if key + ".bias" in sd:
+        p["b"] = _np(sd[key + ".bias"])
+    return p
+
+
+def _rms(sd, key):
+    return {"gamma": _np(sd[key + ".gamma"])}
+
+
+def _ln(sd, key):
+    return {"gamma": _np(sd[key + ".weight"]), "beta": _np(sd[key + ".bias"])}
+
+
+# ---------------------------------------------------------------------------
+# EMA swap (torch_ema shadow list -> state dict)
+
+# buffers / requires_grad=False params that torch_ema does NOT track, by
+# substring (acoustic.py:116-130 rotary inv_freq buffer; rotary_embedding_torch
+# freqs is a Parameter(requires_grad=False); Attend.mask is non-persistent)
+_EMA_SKIP_SUBSTR = ("rotary_emb", "inv_freq", ".freqs")
+
+
+def apply_ema(state_dict: dict, ema_state: dict) -> dict:
+    """Replace parameter tensors with the EMA shadow (torch_ema layout:
+    {'decay', 'num_updates', 'shadow_params': [tensor, ...]}), matching
+    ExponentialMovingAverage.copy_to at eval time (conditional_model.py:203-217).
+
+    The shadow list is aligned with requires_grad parameters in registration
+    order == state_dict order minus known non-trained entries. Tied weights
+    (T2S to_logits share the embedding tensor) appear once in state_dict, so
+    alignment holds."""
+    shadow = ema_state["shadow_params"]
+    out = dict(state_dict)
+    param_keys = [k for k in state_dict.keys() if not any(s in k for s in _EMA_SKIP_SUBSTR)]
+    if len(param_keys) != len(shadow):
+        raise ValueError(
+            f"EMA shadow has {len(shadow)} tensors but state dict has "
+            f"{len(param_keys)} trainable entries; key filter needs updating"
+        )
+    for k, s in zip(param_keys, shadow):
+        if tuple(state_dict[k].shape) != tuple(s.shape):
+            raise ValueError(f"EMA shape mismatch at {k}: {state_dict[k].shape} vs {s.shape}")
+        out[k] = s
+    return out
+
+
+# ---------------------------------------------------------------------------
+# acoustic (CoVoMix) — reference keys under cfm_wrapper.CoVoMix.*
+
+
+def convert_acoustic(state_dict: dict, depth: int, prefix: str = "cfm_wrapper.CoVoMix.") -> dict:
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+    p = {
+        "sinu_weights": _np(sd["sinu_pos_emb.0.weights"]),
+        "time_mlp": _lin(sd, "sinu_pos_emb.1"),
+        "phoneme_emb": {"w": _np(sd["to_phoneme_emb.weight"])},
+        "null_cond": _np(sd["null_cond"]),
+        "to_embed": _lin(sd, "to_embed"),
+        "conv_embed": _conv1d(sd, "conv_embed.dw_conv1d.0"),
+        "final_norm": _rms(sd, "transformer.final_norm"),
+        "to_pred": _lin(sd, "to_pred"),
+        "layers": [],
+    }
+    half = depth // 2
+    for i in range(depth):
+        base = f"transformer.layers.{i}."
+        lp = {
+            "attn_norm": {"to_gamma": _lin(sd, base + "1.to_gamma"), "to_beta": _lin(sd, base + "1.to_beta")},
+            "qkv": _lin(sd, base + "2.to_qkv"),
+            "attn_out": _lin(sd, base + "2.to_out"),
+            "ff_norm": {"to_gamma": _lin(sd, base + "3.to_gamma"), "to_beta": _lin(sd, base + "3.to_beta")},
+            "ff1": _lin(sd, base + "4.0"),
+            "ff2": _lin(sd, base + "4.2"),
+        }
+        if i >= half:
+            lp["skip"] = _lin(sd, base + "0")
+        p["layers"].append(lp)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# text2semantic — reference keys under cfm_wrapper.model.*
+
+
+def _t2s_self_attn(sd, base):
+    return {
+        "norm": _rms(sd, base + "norm"),
+        "q": {"w": _np(sd[base + "to_q.0.weight"]).T},
+        "kv": {"w": _np(sd[base + "to_kv.0.weight"]).T},
+        "out": {"w": _np(sd[base + "to_out.weight"]).T},
+    }
+
+
+def _t2s_ff(sd, base):
+    return {
+        "norm": _rms(sd, base + "0"),
+        "w1": _lin(sd, base + "1"),
+        "w2": _lin(sd, base + "4"),
+    }
+
+
+def convert_t2s(state_dict: dict, source_depth: int, target_depth: int, prefix: str = "cfm_wrapper.model.") -> dict:
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+    p = {
+        "text_emb": {"w": _np(sd["token_emb.text.weight"])},
+        "sem_emb": {"w": _np(sd["token_emb.speech.weight"])},
+        "start_text": _np(sd["start_token.text"]),
+        "start_speech": _np(sd["start_token.speech"]),
+        "target_final_norm": _rms(sd, "target_transformer.final_norm"),
+    }
+    if "null_source_embedding" in sd:
+        p["null_source_embedding"] = _np(sd["null_source_embedding"])
+    if any(k.startswith("source_transformer.layers") for k in sd):
+        p["source_final_norm"] = _rms(sd, "source_transformer.final_norm")
+        p["source_layers"] = [
+            {
+                "self_attn": _t2s_self_attn(sd, f"source_transformer.layers.{i}.0."),
+                "ff": _t2s_ff(sd, f"source_transformer.layers.{i}.2."),
+            }
+            for i in range(source_depth)
+        ]
+    else:
+        p["source_final_norm"] = {"gamma": np.ones_like(_np(sd["start_token.text"]))}
+    p["target_layers"] = []
+    for i in range(target_depth):
+        base = f"target_transformer.layers.{i}."
+        cross = _t2s_self_attn(sd, base + "1.")
+        # null_kv torch shape [2, kv_heads, 1, dh] matches ours directly
+        cross["null_kv"] = _np(sd[base + "1.null_kv"])
+        p["target_layers"].append({
+            "self_attn": _t2s_self_attn(sd, base + "0."),
+            "cross_attn": cross,
+            "ff": _t2s_ff(sd, base + "2."),
+        })
+    return p
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN
+
+
+def convert_hifigan_generator(state_dict: dict, num_ups: int, num_resblock_convs: int = 3, num_kernels: int = 3) -> dict:
+    sd = state_dict
+    p = {
+        "conv_pre": _conv1d_wn(sd, "conv_pre"),
+        "ups": [_convt1d_wn(sd, f"ups.{i}") for i in range(num_ups)],
+        "resblocks": [],
+        "conv_post": _conv1d_wn(sd, "conv_post"),
+    }
+    n_res = num_ups * num_kernels
+    for r in range(n_res):
+        if f"resblocks.{r}.convs1.0.weight_v" in sd or f"resblocks.{r}.convs1.0.weight" in sd:
+            p["resblocks"].append({
+                "convs1": [_conv1d_wn(sd, f"resblocks.{r}.convs1.{j}") for j in range(num_resblock_convs)],
+                "convs2": [_conv1d_wn(sd, f"resblocks.{r}.convs2.{j}") for j in range(num_resblock_convs)],
+            })
+        else:  # ResBlock2
+            p["resblocks"].append({
+                "convs": [_conv1d_wn(sd, f"resblocks.{r}.convs.{j}") for j in range(2)],
+            })
+    return p
+
+
+# ---------------------------------------------------------------------------
+# HuBERT (fairseq .pt) + k-means
+
+
+def convert_hubert(ckpt: dict, encoder_layers: int = 12, conv_layers: int = 7) -> dict:
+    sd = ckpt["model"] if "model" in ckpt else ckpt
+    p = {
+        "conv_layers": [],
+        "fe_group_norm": {"gamma": _np(sd["feature_extractor.conv_layers.0.2.weight"]),
+                          "beta": _np(sd["feature_extractor.conv_layers.0.2.bias"])},
+        "layer_norm": _ln(sd, "layer_norm"),
+        "post_extract_proj": _lin(sd, "post_extract_proj"),
+        "pos_conv": _conv1d_wn(sd, "encoder.pos_conv.0"),
+        "encoder_layer_norm": _ln(sd, "encoder.layer_norm"),
+        "layers": [],
+    }
+    for i in range(conv_layers):
+        p["conv_layers"].append(_conv1d(sd, f"feature_extractor.conv_layers.{i}.0"))
+    for i in range(encoder_layers):
+        b = f"encoder.layers.{i}."
+        p["layers"].append({
+            "q": _lin(sd, b + "self_attn.q_proj"),
+            "k": _lin(sd, b + "self_attn.k_proj"),
+            "v": _lin(sd, b + "self_attn.v_proj"),
+            "out": _lin(sd, b + "self_attn.out_proj"),
+            "attn_ln": _ln(sd, b + "self_attn_layer_norm"),
+            "fc1": _lin(sd, b + "fc1"),
+            "fc2": _lin(sd, b + "fc2"),
+            "final_ln": _ln(sd, b + "final_layer_norm"),
+        })
+    return p
+
+
+def load_kmeans(path: str) -> np.ndarray:
+    """joblib sklearn KMeans .bin -> [n_units, dim] centroids (dgslm k-means)."""
+    import joblib
+
+    km = joblib.load(path)
+    if hasattr(km, "cluster_centers_"):
+        return np.asarray(km.cluster_centers_, np.float32)
+    return np.asarray(km, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# top-level entry points
+
+
+def convert_lightning_ckpt(path: str, *, use_ema: bool = True) -> tuple[dict, dict]:
+    """PL .ckpt -> (param pytree, hyper_parameters dict). Detects acoustic vs
+    T2S from the hyperparameters (conditional_model.py:97-136)."""
+    ckpt = load_torch_file(path)
+    hparams = dict(ckpt.get("hyper_parameters", {}))
+    sd = ckpt["state_dict"]
+    if use_ema and "ema" in ckpt:
+        sd = apply_ema(sd, ckpt["ema"])
+    if hparams.get("text2semantic", False):
+        params = convert_t2s(
+            sd,
+            source_depth=int(hparams.get("text2semantic_source_depth", 4)),
+            target_depth=int(hparams.get("text2semantic_target_depth", 4)),
+        )
+    else:
+        params = convert_acoustic(sd, depth=int(hparams.get("CoVoMix_depth", 8)))
+    return params, hparams
+
+
+def convert_hifigan_ckpt(path: str, config: dict | None = None) -> dict:
+    """HiFi-GAN generator checkpoint ({'generator': sd}) -> param pytree."""
+    ckpt = load_torch_file(path)
+    sd = ckpt["generator"] if "generator" in ckpt else ckpt
+    num_ups = len((config or {}).get("upsample_rates", [5, 4, 4, 2]))
+    num_kernels = len((config or {}).get("resblock_kernel_sizes", [3, 7, 11]))
+    return convert_hifigan_generator(sd, num_ups=num_ups, num_kernels=num_kernels)
+
+
+def convert_hubert_ckpt(pt_path: str, km_path: str | None = None) -> dict:
+    ckpt = load_torch_file(pt_path)
+    params = convert_hubert(ckpt)
+    if km_path:
+        params["kmeans"] = load_kmeans(km_path)
+    return params

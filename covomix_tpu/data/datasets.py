@@ -1,0 +1,246 @@
+"""Dataset pipeline for the CoVoMix training formats.
+
+Re-implements the capability of covomix/data_module.py (CoVoMixMel dataset +
+SpecsDataModule collate) as a torch-free, numpy-based pipeline feeding jitted
+train steps with static-shape batches.
+
+Formats (CoVoMixMel.__getitem__, data_module.py:332-530):
+  default                              mel + phone_by_frame, crop 1600
+  hubert_fisher                        VoSingle: *.mel.npy + *.hubert_code.npy, crop 800
+  hubert_overlap_two_input_two_output  A/B channel mels + 2 token streams
+  hubert_overlap_two_input_one_output  VoMix: A/B/mixed mel triplet
+  text2semantic                        CoSingle: hubert codes + sibling .txt
+  text2semantic_2output                CoMix: 2-stream w/ 40/40/20 augmentation
+
+Collate (data_module.py:834-951): mel pad -15, hubert codes pad 501, text via
+tokenizer batch-encode; returns dict batches. TPU difference: batches are
+padded to bucketed static lengths so jit executables are reused, and the
+bucketing itself can run through the C++ helper (covomix_tpu.native) on large
+manifests."""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+MEL_PAD = -15.0
+CODE_PAD = 501
+SILENCE_TOKEN = 157
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def load_codes(path: str) -> np.ndarray:
+    """`.hubert_code.npy` files store STRING arrays (SURVEY quirks;
+    get_fisher_semantic_tokens_parallel.py:32-34); every consumer casts int."""
+    return np.load(path).astype(int)
+
+
+@dataclass
+class CoVoMixDataset:
+    """File-list dataset mirroring CoVoMixMel. `base_dir` is scanned for
+    `*.mel.npy` (acoustic formats) or `*.hubert_code.npy` (t2s formats)."""
+
+    base_dir: str
+    format: str = "hubert_fisher"
+    shuffle_spec: bool = True            # random vs centered crop
+    random_mask: bool = False
+    max_len: int = 800                   # acoustic crop (data_module.py:364)
+    t2s_max_len: int = 2048
+    dummy: bool = False
+    seed: int = 0
+    files: List[str] = field(default_factory=list)
+    rng: random.Random = field(default_factory=random.Random)
+
+    def __post_init__(self):
+        self.rng = random.Random(self.seed)
+        if not self.files:
+            if self.format.startswith("text2semantic"):
+                pattern = "*.hubert_code.npy"
+                self.files = sorted(
+                    f for f in glob.glob(os.path.join(self.base_dir, "**", pattern), recursive=True)
+                    if not f.endswith("_2.hubert_code.npy")
+                )
+            else:
+                self.files = sorted(glob.glob(os.path.join(self.base_dir, "**", "*.mel.npy"), recursive=True))
+                if self.format == "hubert_overlap_two_input_one_output":
+                    self.files = [f for f in self.files if "-A" not in f and "-B" not in f]
+        if self.dummy:
+            self.files = self.files[: max(1, len(self.files) // 150)]
+        # short-utterance pool for the 2-speaker synthetic augmentation
+        self.short_files = self.files
+
+    def __len__(self):
+        return len(self.files)
+
+    # ---- acoustic items ----------------------------------------------------
+
+    def _crop(self, mel: np.ndarray, codes: np.ndarray, start: Optional[int] = None):
+        n = min(len(codes), mel.shape[1])
+        mel, codes = mel[:, :n], codes[:n]
+        if n > self.max_len:
+            if start is None:
+                start = self.rng.randint(0, n - self.max_len) if self.shuffle_spec else (n - self.max_len) // 2
+            mel = mel[:, start : start + self.max_len]
+            codes = codes[start : start + self.max_len]
+        return mel, codes, start or 0
+
+    def _mask(self, n: int, lo=0.5, hi=1.0):
+        """Random contiguous mask covering `frac` of the sequence
+        (online_feature_extraction.py:98-124)."""
+        frac = self.rng.uniform(lo, hi)
+        length = int(frac * n)
+        if self.random_mask and n > length:
+            start = self.rng.randint(0, n - length)
+        else:
+            start = n - length  # fix mask at the end (prompt at the beginning)
+        mask = np.zeros(n, bool)
+        mask[start : start + length] = True
+        return mask
+
+    def __getitem__(self, i: int) -> Dict:
+        f = self.files[i]
+        if self.format == "hubert_fisher":
+            mel = np.load(f)
+            codes = load_codes(f.replace(".mel.npy", ".hubert_code.npy"))
+            mel, codes, _ = self._crop(mel, codes)
+            mask = self._mask(len(codes))
+            return {"x": mel.T.astype(np.float32), "phonemes": codes.astype(np.int32), "mask": mask}
+
+        if self.format == "default":
+            mel = np.load(f)
+            codes = np.load(f.replace(".mel.npy", ".phone_by_frame.npy")).astype(int)
+            old_max, self.max_len = self.max_len, 1600
+            mel, codes, _ = self._crop(mel, codes)
+            self.max_len = old_max
+            mask = self._mask(len(codes))
+            return {"x": mel.T.astype(np.float32), "phonemes": codes.astype(np.int32), "mask": mask}
+
+        if self.format in ("hubert_overlap_two_input_two_output", "hubert_overlap_two_input_one_output"):
+            fa = f.replace(".mel.npy", "-A.mel.npy")
+            fb = f.replace(".mel.npy", "-B.mel.npy")
+            mel_a = np.load(fa)
+            codes_a = load_codes(fa.replace(".mel.npy", "-16k.hubert_code.npy")) if os.path.exists(
+                fa.replace(".mel.npy", "-16k.hubert_code.npy")) else load_codes(fa.replace(".mel.npy", ".hubert_code.npy"))
+            mel_a, codes_a, start = self._crop(mel_a, codes_a)
+            mel_b = np.load(fb)
+            codes_b = load_codes(fb.replace(".mel.npy", "-16k.hubert_code.npy")) if os.path.exists(
+                fb.replace(".mel.npy", "-16k.hubert_code.npy")) else load_codes(fb.replace(".mel.npy", ".hubert_code.npy"))
+            mel_b, codes_b, _ = self._crop(mel_b, codes_b, start)
+            mask = self._mask(min(len(codes_a), len(codes_b)), 0.3, 0.7)
+            n = len(mask)
+            phon = np.stack([codes_a[:n], codes_b[:n]], -1).astype(np.int32)
+            if self.format == "hubert_overlap_two_input_two_output":
+                x = np.concatenate([mel_a[:, :n].T, mel_b[:, :n].T], -1).astype(np.float32)
+            else:
+                mel_mix = np.load(f)
+                mel_mix, _, _ = self._crop(mel_mix, np.zeros(mel_mix.shape[1], int), start)
+                n = min(n, mel_mix.shape[1])
+                x = np.concatenate([mel_a[:, :n].T, mel_b[:, :n].T, mel_mix[:, :n].T], -1).astype(np.float32)
+                phon, mask = phon[:n], mask[:n]
+            return {"x": x, "phonemes": phon, "mask": mask}
+
+        if self.format == "text2semantic":
+            codes = load_codes(f)[: self.t2s_max_len]
+            txt_path = f.replace("-16k.hubert_code.npy", ".txt").replace(".hubert_code.npy", ".txt")
+            with open(txt_path) as fh:
+                text = fh.read()
+            return {"text": text, "semantic": codes.astype(np.int32)}
+
+        if self.format == "text2semantic_2output":
+            return self._t2s_2output_item(f)
+
+        raise ValueError(f"unknown format {self.format}")
+
+    def _t2s_2output_item(self, f: str) -> Dict:
+        """CoMix data augmentation (data_module.py:448-527): 40% single-speaker
+        (stream B silence), 40% shifted to stream B with a leading [spkchange],
+        20% synthetic 2-speaker concatenation."""
+        def read_txt(path):
+            with open(path.replace("-16k.hubert_code.npy", ".txt").replace(".hubert_code.npy", ".txt")) as fh:
+                return fh.read()
+
+        two_spk = "_1.hubert_code.npy" in os.path.basename(f)
+        if two_spk:
+            c1 = load_codes(f)
+            c2 = load_codes(f.replace("_1.hubert_code.npy", "_2.hubert_code.npy"))
+            n = max(len(c1), len(c2))
+            c1 = np.pad(c1, (0, n - len(c1)), constant_values=SILENCE_TOKEN)
+            c2 = np.pad(c2, (0, n - len(c2)), constant_values=SILENCE_TOKEN)
+            text = read_txt(f.replace("_1.hubert_code.npy", ".hubert_code.npy"))
+        else:
+            p = self.rng.random()
+            codes = load_codes(f)
+            text = read_txt(f)
+            if p < 0.40:
+                c1, c2 = codes, np.full_like(codes, SILENCE_TOKEN)
+            elif p < 0.80:
+                c2, c1 = codes, np.full_like(codes, SILENCE_TOKEN)
+                text = " [spkchange] " + text
+            else:
+                other = self.rng.choice(self.short_files)
+                codes2 = load_codes(other)
+                text = text + " [spkchange] " + read_txt(other)
+                c1 = np.concatenate([codes, np.full_like(codes2, SILENCE_TOKEN)])
+                c2 = np.concatenate([np.full_like(codes, SILENCE_TOKEN), codes2])
+        sem = np.stack([c1, c2], -1)[: self.t2s_max_len].astype(np.int32)
+        return {"text": text, "semantic": sem}
+
+
+# ---------------------------------------------------------------------------
+# collate
+
+
+def collate_acoustic(items: List[Dict], bucket: int = 64) -> Dict[str, np.ndarray]:
+    """Pad to a bucketed max length: mel -15, codes 501, mask False
+    (collate_fn, data_module.py:834-951)."""
+    n = _round_up(max(len(it["mask"]) for it in items), bucket)
+    b = len(items)
+    d = items[0]["x"].shape[-1]
+    ph_shape = (b, n) if items[0]["phonemes"].ndim == 1 else (b, n, items[0]["phonemes"].shape[-1])
+    out = {
+        "x": np.full((b, n, d), MEL_PAD, np.float32),
+        "phonemes": np.full(ph_shape, CODE_PAD, np.int32),
+        "mask": np.zeros((b, n), bool),
+    }
+    for i, it in enumerate(items):
+        t = len(it["mask"])
+        out["x"][i, :t] = it["x"][:t]
+        out["phonemes"][i, :t] = it["phonemes"][:t]
+        out["mask"][i, :t] = it["mask"][:t]
+    return out
+
+
+def collate_t2s(items: List[Dict], tokenizer, bucket: int = 64, max_text_len: int = 512) -> Dict[str, np.ndarray]:
+    text_ids, _ = tokenizer.batch_encode([it["text"] for it in items], max_length=max_text_len)
+    ts = _round_up(text_ids.shape[1], 16)
+    text_ids = np.pad(text_ids, ((0, 0), (0, ts - text_ids.shape[1])))
+    n = _round_up(max(len(it["semantic"]) for it in items), bucket)
+    b = len(items)
+    sem_shape = (b, n) if items[0]["semantic"].ndim == 1 else (b, n, 2)
+    sem = np.full(sem_shape, CODE_PAD, np.int32)
+    for i, it in enumerate(items):
+        sem[i, : len(it["semantic"])] = it["semantic"]
+    return {"text_ids": text_ids.astype(np.int32), "semantic_ids": sem}
+
+
+def data_loader(dataset, batch_size: int, collate, *, shuffle=True, seed=0, drop_last=True):
+    """Simple epoch iterator (the heavy lifting — decode + pad — is numpy;
+    prefetch via covomix_tpu.native.prefetch when available)."""
+    idx = np.arange(len(dataset))
+    rng = np.random.RandomState(seed)
+    while True:
+        if shuffle:
+            rng.shuffle(idx)
+        for s in range(0, len(idx) - (batch_size - 1 if drop_last else 0), batch_size):
+            batch_idx = idx[s : s + batch_size]
+            if len(batch_idx) == 0:
+                continue
+            yield collate([dataset[int(i)] for i in batch_idx])

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from covomix_tpu.models import layers as L
+from covomix_tpu.ops.flash_attention import attend_flash_or_xla
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,7 +132,9 @@ def _transformer(params, cfg: AcousticConfig, x, time_emb):
         q, k, v = (L.split_heads(t, cfg.heads) for t in (q, k, v))
         q = L.rotary_halfsplit(positions, inv_freq, q)
         k = L.rotary_halfsplit(positions, inv_freq, k)
-        attn = L.merge_heads(L.attend(q, k, v))
+        # dense non-causal attention: Pallas flash kernel on TPU for long
+        # sequences, XLA einsum otherwise (ops/flash_attention.py)
+        attn = L.merge_heads(attend_flash_or_xla(q, k, v))
         x = L.linear(lp["attn_out"], attn) + x
         h = L.adaptive_rmsnorm(lp["ff_norm"], x, time_emb)
         h = L.linear(lp["ff2"], jax.nn.gelu(L.linear(lp["ff1"], h), approximate=False))

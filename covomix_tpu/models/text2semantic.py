@@ -56,6 +56,8 @@ class T2SConfig:
     semantic_pad_id: int = -1
     cond_drop_prob: float = 0.0
     classifier_free_guidance: bool = False
+    target_early_exit_layer: int = 0   # 0 = no early-exit head (speculative decoding)
+    detach_early_exit_embed: bool = False
 
     @property
     def text_eos_id(self) -> int:
@@ -134,6 +136,15 @@ def init(key, cfg: T2SConfig):
         }
         for _ in range(cfg.target_depth)
     ]
+    if cfg.target_early_exit_layer > 0:
+        # early-exit semantic head for speculative decoding (text2semantic.py:603-615):
+        # Residual(FeedForward) -> RMSNorm -> Linear(V+1)
+        k = next(keys)
+        p["early_exit"] = {
+            "ff": _ff_init(jax.random.fold_in(k, 0), cfg.target_dim, int(cfg.target_dim * 4 * 2 / 3)),
+            "norm": L.rmsnorm_init(cfg.target_dim),
+            "to_logits": L.linear_init(jax.random.fold_in(k, 1), cfg.target_dim, cfg.num_semantic_tokens + 1, bias=False),
+        }
     return p
 
 
@@ -269,11 +280,13 @@ def forward_loss(
     tgt_in = jnp.concatenate([start, _embed_target(params, cfg, t1, t2, dtype)], axis=1)
 
     x = tgt_in
+    hiddens = []
     for lp in params["target_layers"]:
         x = _self_attn_full(lp["self_attn"], x, cfg.heads, mask=dec_mask, causal=True) + x
         ckv = _context_kv(lp["cross_attn"], context, cfg.heads)
         x = _cross_attn(lp["cross_attn"], x, ckv, cfg.heads, context_mask=context_mask) + x
         x = _ff(lp["ff"], x) + x
+        hiddens.append(x)
     x = L.rmsnorm(params["target_final_norm"], x)
 
     def ce(logits, tgt):
@@ -291,12 +304,23 @@ def forward_loss(
         logits1 = _sem_logits(params, x[..., :half], dtype)
         logits2 = _sem_logits(params, x[..., half:], dtype)
         loss = ce(logits1, t1) + ce(logits2, t2)
-        if return_logits:
-            return loss, (logits1, logits2)
-        return loss
-    logits = _sem_logits(params, x, dtype)
-    loss = ce(logits, t1)
+    else:
+        logits = _sem_logits(params, x, dtype)
+        loss = ce(logits, t1)
+
+    # early-exit head CE for speculative decoding (text2semantic.py:1026-1046)
+    if cfg.target_early_exit_layer > 0 and "early_exit" in params:
+        early = hiddens[cfg.target_early_exit_layer - 1]
+        if cfg.detach_early_exit_embed:
+            early = jax.lax.stop_gradient(early)
+        ee = params["early_exit"]
+        h = early + _ff(ee["ff"], early)
+        ee_logits = L.linear(ee["to_logits"], L.rmsnorm(ee["norm"], h)).astype(jnp.float32)
+        loss = loss + ce(ee_logits, t1)
+
     if return_logits:
+        if cfg.two_output:
+            return loss, (logits1, logits2)
         return loss, logits
     return loss
 
@@ -456,3 +480,52 @@ def generate(
     len1 = jnp.sum(tokens1 != pad, axis=-1)
     len2 = jnp.sum(tokens2 != pad, axis=-1)
     return GenerateResult(tokens1, tokens2, len1, len2, i)
+
+
+# ---------------------------------------------------------------------------
+# auxiliary training wrappers (text2semantic.py:1108-1201)
+
+
+def semantic_to_text_loss(params, cfg: T2SConfig, semantic_ids, text_ids, *, dtype=jnp.float32):
+    """Backtranslation task (SemanticToTextWrapper, text2semantic.py:1175-1201):
+    source = speech tokens through the SPEECH embedding + encoder, target = text
+    through the text embedding/decoder/logits (weight-tied). Requires
+    target_dim == dim (the reference default when target_transformer_dim is None)."""
+    assert cfg.target_dim == cfg.dim, "s2t decoding shares the decoder; set target_dim == dim"
+    assert not cfg.two_output and not cfg.two_input
+
+    src = S.set_eos_id(semantic_ids, cfg.semantic_eos_id, cfg.semantic_pad_id)
+    source_mask = src != cfg.semantic_pad_id
+    source_emb = L.embedding(params["sem_emb"], jnp.clip(src, 0, cfg.num_semantic_tokens), dtype)
+    context = encode_source(params, cfg, source_emb, source_mask, dtype)
+
+    tgt = S.set_eos_id(text_ids, cfg.text_eos_id, cfg.text_pad_id)
+    tgt_mask = tgt != cfg.text_pad_id
+    dec_mask = jnp.concatenate([jnp.ones((tgt.shape[0], 1), bool), tgt_mask], axis=-1)
+    start = jnp.broadcast_to(params["start_text"].astype(dtype), (tgt.shape[0], 1, cfg.dim))
+    x = jnp.concatenate([start, L.embedding(params["text_emb"], jnp.clip(tgt, 0, cfg.num_text_tokens), dtype)], axis=1)
+    for lp in params["target_layers"]:
+        x = _self_attn_full(lp["self_attn"], x, cfg.heads, mask=dec_mask, causal=True) + x
+        ckv = _context_kv(lp["cross_attn"], context, cfg.heads)
+        x = _cross_attn(lp["cross_attn"], x, ckv, cfg.heads, context_mask=source_mask) + x
+        x = _ff(lp["ff"], x) + x
+    x = L.rmsnorm(params["target_final_norm"], x)
+    logits = (x @ params["text_emb"]["w"].astype(dtype).T).astype(jnp.float32)[:, :-1]
+    valid = tgt != cfg.text_pad_id
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, jnp.clip(tgt, 0, cfg.num_text_tokens)[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def speech_speech_pretrain_loss(params, cfg: T2SConfig, key, semantic_ids, *, deletion_prob: float = 0.6, dtype=jnp.float32):
+    """Denoising pretraining (SpeechSpeechPretrainWrapper, text2semantic.py:
+    1108-1171, reconstruct_seq + mask_id path): a random `deletion_prob` subset
+    of the speech tokens is replaced with a mask id; the model reconstructs the
+    full sequence. The corrupted source goes through the TEXT path like the
+    reference does (source_type='text')."""
+    mask_id = cfg.num_text_tokens - 1  # reserve the last text id as [MASK]
+    valid = semantic_ids != cfg.semantic_pad_id
+    drop = (jax.random.uniform(key, semantic_ids.shape) < deletion_prob) & valid
+    source = jnp.where(drop, mask_id, jnp.clip(semantic_ids, 0, cfg.num_text_tokens - 1))
+    return forward_loss(params, cfg, source, semantic_ids, dtype=dtype)

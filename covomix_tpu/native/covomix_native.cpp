@@ -1,0 +1,99 @@
+// covomix_native — C++ runtime helpers for the TPU framework.
+//
+// TPU-native equivalents of the reference's native components (SURVEY §2.5):
+//   * levenshtein        — edit distance over token-id sequences (replaces the
+//                          jiwer dependency of covomix/util/inference.py:345
+//                          and fairseq's libnat edit_dist.cpp capability)
+//   * batch_by_size      — length-bucketed batch construction (replaces
+//                          fairseq/data/data_utils_fast.pyx)
+//   * pad_batch_f32/i32  — fused copy+pad of ragged rows into a static-shape
+//                          batch buffer (collate hot path, avoids per-row
+//                          numpy dispatch)
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Edit distance between int64 sequences a[0:na], b[0:nb].
+int64_t levenshtein_i64(const int64_t* a, int64_t na, const int64_t* b, int64_t nb) {
+    if (na == 0) return nb;
+    if (nb == 0) return na;
+    std::vector<int64_t> prev(nb + 1), cur(nb + 1);
+    for (int64_t j = 0; j <= nb; ++j) prev[j] = j;
+    for (int64_t i = 1; i <= na; ++i) {
+        cur[0] = i;
+        const int64_t ai = a[i - 1];
+        for (int64_t j = 1; j <= nb; ++j) {
+            const int64_t sub = prev[j - 1] + (ai != b[j - 1]);
+            cur[j] = std::min({prev[j] + 1, cur[j - 1] + 1, sub});
+        }
+        std::swap(prev, cur);
+    }
+    return prev[nb];
+}
+
+// Batched edit distance: flat_a/flat_b hold concatenated sequences with
+// offsets (len n+1). out[i] = dist(a_i, b_i).
+void levenshtein_batch_i64(const int64_t* flat_a, const int64_t* off_a,
+                           const int64_t* flat_b, const int64_t* off_b,
+                           int64_t n, int64_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = levenshtein_i64(flat_a + off_a[i], off_a[i + 1] - off_a[i],
+                                 flat_b + off_b[i], off_b[i + 1] - off_b[i]);
+    }
+}
+
+// Length-bucketed batching (fairseq batch_by_size semantics): indices must be
+// pre-sorted by length. Packs consecutive indices into batches such that
+//   batch_size <= max_sentences  and  max_len_in_batch * batch_size <= max_tokens.
+// Writes batch boundaries into out_boundaries (capacity n+1); returns count.
+int64_t batch_by_size(const int64_t* lengths, const int64_t* indices, int64_t n,
+                      int64_t max_tokens, int64_t max_sentences,
+                      int64_t* out_boundaries) {
+    int64_t num_batches = 0;
+    int64_t start = 0;
+    int64_t max_len = 0;
+    out_boundaries[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t len = lengths[indices[i]];
+        const int64_t new_max = std::max(max_len, len);
+        const int64_t bsz = i - start + 1;
+        const bool overflow =
+            (max_sentences > 0 && bsz > max_sentences) ||
+            (max_tokens > 0 && new_max * bsz > max_tokens);
+        if (overflow && bsz > 1) {
+            out_boundaries[++num_batches] = i;
+            start = i;
+            max_len = len;
+        } else {
+            max_len = new_max;
+        }
+    }
+    out_boundaries[++num_batches] = n;
+    return num_batches;
+}
+
+// Copy ragged float32 rows (flat + offsets, row width `dim`) into a padded
+// [n, max_len, dim] buffer pre-filled by the caller.
+void pad_batch_f32(const float* flat, const int64_t* offsets, int64_t n,
+                   int64_t dim, int64_t max_len, float* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t t = std::min((offsets[i + 1] - offsets[i]) / dim, max_len);
+        std::memcpy(out + i * max_len * dim, flat + offsets[i], t * dim * sizeof(float));
+    }
+}
+
+void pad_batch_i32(const int32_t* flat, const int64_t* offsets, int64_t n,
+                   int64_t dim, int64_t max_len, int32_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t t = std::min((offsets[i + 1] - offsets[i]) / dim, max_len);
+        std::memcpy(out + i * max_len * dim, flat + offsets[i], t * dim * sizeof(int32_t));
+    }
+}
+
+}  // extern "C"

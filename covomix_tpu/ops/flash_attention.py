@@ -1,0 +1,105 @@
+"""Pallas TPU flash attention for the acoustic transformer.
+
+The acoustic flow-matching model attends over full mel sequences (up to ~2k
+frames x 64 NFE per sample); materializing [B,H,T,T] similarity matrices in
+HBM is the dominant memory cost of the sampler. This kernel computes
+softmax(QK^T)V blockwise in VMEM with the standard online-softmax recurrence:
+running max m, running denominator l, rescaled accumulator acc — one pass over
+K/V blocks per Q block, no [T,T] intermediate.
+
+Non-causal, no mask (the acoustic transformer attends densely and handles
+padding by construction — acoustic.py:514 passes no mask). Falls back to the
+XLA einsum path off-TPU or for shapes that don't tile (covomix_tpu.models.
+layers.attend)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scale: float):
+    # blocks carry a leading singleton (batch*head) dim:
+    # q_ref [1, block_q, dh]; k_ref/v_ref [1, kv_len, dh]; o_ref [1, block_q, dh]
+    _, block_q, dh = q_ref.shape
+    q = q_ref[0, :, :].astype(jnp.float32) * scale
+
+    num_kb = kv_len // block_k
+
+    def body(kb, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, dh), jnp.float32)
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0, :, :] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    *, block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+                    interpret: bool = False) -> jnp.ndarray:
+    """q/k/v: [B, H, T, dh] -> [B, H, T, dh]. T must divide by the blocks
+    (callers bucket to multiples of 256 already; see pipeline.Synthesizer)."""
+    b, h, t, dh = q.shape
+    block_q = min(block_q, t)
+    block_k = min(block_k, t)
+    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
+    scale = dh ** -0.5
+
+    kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=t, scale=scale)
+    grid = (b * h, t // block_q)
+    qf = q.reshape(b * h, t, dh)
+    kf = k.reshape(b * h, t, dh)
+    vf = v.reshape(b * h, t, dh)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, t, dh), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t, dh), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t, dh), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t * t * dh,
+            bytes_accessed=(3 * b * h * t * dh + b * h * t * dh) * q.dtype.itemsize,
+            transcendentals=b * h * t * t,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, t, dh)
+
+
+def attend_flash_or_xla(q, k, v, *, key_mask=None, causal=False, min_seq_for_flash: int = 512):
+    """Dispatch: dense non-causal unmasked attention on TPU with T >= threshold
+    and tileable shapes goes through the Pallas kernel; everything else uses
+    the XLA einsum path."""
+    from covomix_tpu.models.layers import attend
+
+    t = q.shape[-2]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if (key_mask is None and not causal and on_tpu and t >= min_seq_for_flash
+            and t % 256 == 0 and q.shape[-1] <= 256):
+        return flash_attention(q, k, v)
+    return attend(q, k, v, key_mask=key_mask, causal=causal)

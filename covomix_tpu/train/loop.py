@@ -1,0 +1,134 @@
+"""Training loop: optax Adam + EMA + the reference warmup/decay LR schedule.
+
+Capability parity with the Lightning wrapper (covomix/conditional_model.py):
+  * Adam lr 1e-4 (configure_optimizers, :166-168)
+  * EMA decay 0.999 with torch_ema's num_updates ramp min(d, (1+n)/(10+n))
+    (:144, torch_ema default use_num_updates=True), updated after every
+    optimizer step (:186-189); eval swaps EMA params in (:203-217)
+  * LR schedule per epoch: linear warmup over `wake_up_epochs`, flat until
+    `decay_start_epoch`, linear decay to 0 at `total_epochs` (:170-184)
+
+TPU-first: the step is one jitted function (loss + grads + optimizer + EMA)
+with donated state; data parallelism comes from sharded batch inputs (see
+covomix_tpu.parallel) — no DDP-style wrapper object."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    ema_num_updates: jnp.ndarray  # scalar int
+    step: jnp.ndarray             # scalar int
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4
+    ema_decay: float = 0.999
+    use_lr_schedule: bool = False
+    total_epochs: int = 500
+    wake_up_epochs: int = 15
+    decay_start_epoch: int = 30
+    steps_per_epoch: int = 1000
+    grad_clip: Optional[float] = None
+
+
+def reference_lr_schedule(cfg: TrainConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Epoch-granular schedule from conditional_model.py:170-184."""
+
+    def schedule(step):
+        epoch = step // cfg.steps_per_epoch
+        warm = cfg.lr * (epoch + 1) / cfg.wake_up_epochs
+        flat = cfg.lr
+        decay = cfg.lr * (1 - (epoch - cfg.decay_start_epoch) / (cfg.total_epochs - cfg.decay_start_epoch))
+        lr = jnp.where(epoch < cfg.wake_up_epochs, warm, jnp.where(epoch < cfg.decay_start_epoch, flat, decay))
+        return jnp.maximum(lr, 0.0)
+
+    return schedule
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    sched = reference_lr_schedule(cfg) if cfg.use_lr_schedule else cfg.lr
+    tx = optax.adam(sched)
+    if cfg.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def init_train_state(params, cfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.asarray, params),
+        ema_num_updates=jnp.zeros((), jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def ema_update(ema_params, params, num_updates, decay: float):
+    """torch_ema ExponentialMovingAverage.update: effective decay
+    min(decay, (1+n)/(10+n)); shadow -= (1-d)*(shadow - param)."""
+    n = num_updates.astype(jnp.float32)
+    d = jnp.minimum(decay, (1.0 + n) / (10.0 + n))
+    return jax.tree_util.tree_map(lambda e, p: e - (1.0 - d) * (e - p), ema_params, params)
+
+
+def make_train_step(loss_fn: Callable, cfg: TrainConfig, donate: bool = True):
+    """loss_fn(params, batch, key) -> scalar loss. Returns jitted
+    step(state, batch, key) -> (state, metrics)."""
+    tx = make_optimizer(cfg)
+
+    def step(state: TrainState, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema_params, params, state.ema_num_updates, cfg.ema_decay)
+        new_state = TrainState(params, opt_state, ema, state.ema_num_updates + 1, state.step + 1)
+        gnorm = optax.global_norm(grads)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# per-model loss adapters (batch dict contract documented per model)
+
+
+def acoustic_loss_fn(cfg_model, *, cond_drop_prob: float = 0.0, dtype=jnp.float32):
+    """Batch: {'x': [B,T,D] target mel(s), 'phonemes': [B,T(,2)], 'mask': [B,T] bool}
+    VoSingle: cond = x (conditional_model.py:253-259).
+    VoMix ('two_one'): x holds [cond_A | cond_B | mixed]; target = x[...,-80:],
+    cond = x[...,:-80] (conditional_model.py:239-245)."""
+    from covomix_tpu.models import acoustic as A
+
+    def loss(params, batch, key):
+        x = batch["x"]
+        if cfg_model.mode == "two_one":
+            target, cond = x[..., -80:], x[..., :-80]
+        else:
+            target, cond = x, x
+        return A.cfm_loss(params, cfg_model, key, target, batch["phonemes"], cond,
+                          batch.get("mask"), cond_drop_prob=cond_drop_prob, dtype=dtype)
+
+    return loss
+
+
+def t2s_loss_fn(cfg_model, dtype=jnp.float32):
+    """Batch: {'text_ids': [B,S], 'semantic_ids': [B,T(,2)]}."""
+    from covomix_tpu.models import text2semantic as T
+
+    def loss(params, batch, key):
+        return T.forward_loss(params, cfg_model, batch["text_ids"], batch["semantic_ids"], key=key, dtype=dtype)
+
+    return loss

