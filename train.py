@@ -157,24 +157,28 @@ def main():
                 start_step = latest
                 print(f"resumed from step {latest}")
 
-        metrics_log = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+        from covomix_tpu.util.logging_utils import MetricsLogger
+        from covomix_tpu.util.watchdog import Watchdog
+
+        logger = MetricsLogger(run_dir, tensorboard=not args.no_wandb)
         total_steps = args.max_steps or args.max_epochs * steps_per_epoch
         t_last, step_last = time.time(), start_step
+        watchdog = Watchdog(timeout_s=1800.0, name=run_name)
+        watchdog.__enter__()
         for step_i in range(start_step, total_steps):
             batch = shard_batch(mesh, next(loader))
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, batch, sub)
+            watchdog.beat(step_i + 1)
             if (step_i + 1) % 50 == 0:
                 loss = float(metrics["loss"])
                 now = time.time()
                 sps = (step_i + 1 - step_last) / max(now - t_last, 1e-9)
                 t_last, step_last = now, step_i + 1
-                rec = {"step": step_i + 1, "epoch": (step_i + 1) // steps_per_epoch,
-                       "train_loss": loss, "grad_norm": float(metrics["grad_norm"]),
-                       "steps_per_sec": round(sps, 3)}
-                print(json.dumps(rec), flush=True)
-                metrics_log.write(json.dumps(rec) + "\n")
-                metrics_log.flush()
+                rec = {"epoch": (step_i + 1) // steps_per_epoch, "train_loss": loss,
+                       "grad_norm": float(metrics["grad_norm"]), "steps_per_sec": round(sps, 3)}
+                print(json.dumps({"step": step_i + 1, **rec}), flush=True)
+                logger.log(step_i + 1, rec)
             if (step_i + 1) % args.ckpt_every == 0:
                 cio.save_train_state(ckpt_dir, jax.device_get(state), step_i + 1)
             if args.num_eval_files and (step_i + 1) % args.eval_every == 0:
@@ -186,10 +190,9 @@ def main():
                     ev = E.evaluate_t2s(ema, model_cfg, eval_batches, sub, dtype=dtype)
                 else:
                     ev = E.evaluate_acoustic(ema, model_cfg, eval_batches, sub, dtype=dtype)
-                rec = {"step": step_i + 1, **{k: float(v) for k, v in ev.items()}}
-                print("eval:", json.dumps(rec), flush=True)
-                metrics_log.write(json.dumps({"eval": rec}) + "\n")
-                metrics_log.flush()
+                print("eval:", json.dumps({k: float(v) for k, v in ev.items()}), flush=True)
+                logger.log(step_i + 1, ev, prefix="eval_")
+        watchdog.__exit__()
 
         cio.save_train_state(ckpt_dir, jax.device_get(state), total_steps)
         print(f"done: {total_steps} steps -> {ckpt_dir}")
