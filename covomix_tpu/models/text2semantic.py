@@ -232,29 +232,37 @@ def _sem_logits(params, h, dtype):
 def forward_loss(
     params,
     cfg: T2SConfig,
-    source_ids: jnp.ndarray,     # [B, S] or [B, S, 2] (two_input)
+    source_ids: Optional[jnp.ndarray],   # [B, S] or [B, S, 2] (two_input); None with source_emb
     target_ids: jnp.ndarray,     # [B, T] or [B, T, 2] (two_output); pad = collate pad (501)
     *,
     key=None,
     source_mask: Optional[jnp.ndarray] = None,
+    source_emb: Optional[jnp.ndarray] = None,  # precomputed text embeddings [B, S, dim]
     cond_drop: bool = False,
     dtype=jnp.float32,
     return_logits: bool = False,
 ):
     """Teacher-forced CE. Targets arrive padded with the collate pad value 501
     (data_module.py:853); semantic_pad_id=-1 means every position counts in the
-    CE, matching the reference (ignore_index=-1 never fires)."""
-    # auto EOS on source (text2semantic.py:915-917)
-    if cfg.two_input:
+    CE, matching the reference (ignore_index=-1 never fires).
+
+    `source_emb` supports the frozen-external-text-encoder path (the
+    reference's bert_init_emb/t5_init_emb collate option, data_module.py:
+    918-930 + text2semantic.py:880-883): embeddings computed offline (or by
+    any encoder) are fed directly with an explicit `source_mask`."""
+    if source_emb is not None:
+        assert source_mask is not None, "precomputed source_emb requires source_mask"
+        source_ids = None
+    elif cfg.two_input:
         s1 = S.set_eos_id(source_ids[..., 0], cfg.text_eos_id, cfg.text_pad_id)
         s2 = S.set_eos_id(source_ids[..., 1], cfg.text_eos_id, cfg.text_pad_id)
         source_ids = jnp.stack([s1, s2], axis=-1)
-        src_flat = s1
+        if source_mask is None:
+            source_mask = s1 != cfg.text_pad_id
     else:
         source_ids = S.set_eos_id(source_ids, cfg.text_eos_id, cfg.text_pad_id)
-        src_flat = source_ids
-    if source_mask is None:
-        source_mask = src_flat != cfg.text_pad_id
+        if source_mask is None:
+            source_mask = source_ids != cfg.text_pad_id
 
     # auto EOS on target (text2semantic.py:921-926)
     if cfg.two_output:
@@ -268,7 +276,8 @@ def forward_loss(
     # attend to BOS (text2semantic.py:934-938)
     dec_mask = jnp.concatenate([jnp.ones((t1.shape[0], 1), bool), target_mask], axis=-1)
 
-    source_emb = embed_source(params, cfg, source_ids, dtype)
+    if source_emb is None:
+        source_emb = embed_source(params, cfg, source_ids, dtype)
     context = encode_source(params, cfg, source_emb, source_mask, dtype)
 
     context_mask = source_mask
@@ -341,12 +350,14 @@ def generate(
     params,
     cfg: T2SConfig,
     key,
-    source_ids: jnp.ndarray,   # [B, S] (or [B, S, 2] two_input)
+    source_ids: Optional[jnp.ndarray],   # [B, S] (or [B, S, 2] two_input); None with source_emb
     *,
     max_length: int = 2048,
     temperature: float = 1.0,
     top_k_thres: float = 0.1,
     cond_scale: float = 1.0,
+    source_emb: Optional[jnp.ndarray] = None,
+    source_mask: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
 ) -> GenerateResult:
     """Jit-compatible greedy/top-k AR decode with static max_length.
@@ -356,22 +367,26 @@ def generate(
     sample; stop when every row has emitted EOS (two_output: when either stream
     has); after stopping, positions after EOS become pad via mask_after_eos.
     The pad fill value is semantic_pad_id (-1), which the pipeline strips."""
-    b = source_ids.shape[0]
+    b = (source_ids if source_emb is None else source_emb).shape[0]
     heads, depth, dh = cfg.heads, cfg.target_depth, cfg.dim_head
     eos = cfg.semantic_eos_id
     pad = cfg.semantic_pad_id
 
     # ---- encode source once
-    if cfg.two_input:
-        s1 = S.set_eos_id(source_ids[..., 0], cfg.text_eos_id, cfg.text_pad_id)
-        s2 = S.set_eos_id(source_ids[..., 1], cfg.text_eos_id, cfg.text_pad_id)
-        source_ids = jnp.stack([s1, s2], axis=-1)
-        src_flat = s1
+    if source_emb is not None:
+        assert source_mask is not None, "precomputed source_emb requires source_mask"
     else:
-        source_ids = S.set_eos_id(source_ids, cfg.text_eos_id, cfg.text_pad_id)
-        src_flat = source_ids
-    source_mask = src_flat != cfg.text_pad_id
-    context = encode_source(params, cfg, embed_source(params, cfg, source_ids, dtype), source_mask, dtype)
+        if cfg.two_input:
+            s1 = S.set_eos_id(source_ids[..., 0], cfg.text_eos_id, cfg.text_pad_id)
+            s2 = S.set_eos_id(source_ids[..., 1], cfg.text_eos_id, cfg.text_pad_id)
+            source_ids = jnp.stack([s1, s2], axis=-1)
+            src_flat = s1
+        else:
+            source_ids = S.set_eos_id(source_ids, cfg.text_eos_id, cfg.text_pad_id)
+            src_flat = source_ids
+        source_mask = src_flat != cfg.text_pad_id
+        source_emb = embed_source(params, cfg, source_ids, dtype)
+    context = encode_source(params, cfg, source_emb, source_mask, dtype)
 
     use_cfg = cond_scale > 1.0
     if use_cfg:

@@ -25,19 +25,29 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scale: float,
+                  valid_len: int):
     # blocks carry a leading singleton (batch*head) dim:
     # q_ref [1, block_q, dh]; k_ref/v_ref [1, kv_len, dh]; o_ref [1, block_q, dh]
+    # valid_len (static): keys >= valid_len are padding and masked out.
     _, block_q, dh = q_ref.shape
     q = q_ref[0, :, :].astype(jnp.float32) * scale
 
     num_kb = kv_len // block_k
+    full_kb = valid_len // block_k  # blocks with no padding
 
-    def body(kb, carry):
-        acc, m, l = carry
+    def block_scores(kb, masked):
         k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        if masked:
+            cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(cols < valid_len, s, -jnp.inf)
+        return s
+
+    def step(kb, carry, masked):
+        acc, m, l = carry
+        s = block_scores(kb, masked)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -48,47 +58,60 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scal
     acc0 = jnp.zeros((block_q, dh), jnp.float32)
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    carry = jax.lax.fori_loop(0, full_kb, lambda kb, c: step(kb, c, False), (acc0, m0, l0))
+    # tail blocks containing padded columns (at most (kv_len-valid_len)//block_k + 1)
+    carry = jax.lax.fori_loop(full_kb, num_kb, lambda kb, c: step(kb, c, True), carry)
+    acc, m, l = carry
     o_ref[0, :, :] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     *, block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
                     interpret: bool = False) -> jnp.ndarray:
-    """q/k/v: [B, H, T, dh] -> [B, H, T, dh]. T must divide by the blocks
-    (callers bucket to multiples of 256 already; see pipeline.Synthesizer)."""
+    """q/k/v: [B, H, T, dh] -> [B, H, T, dh]. Arbitrary T: inputs are padded to
+    a block multiple and padded key columns are masked inside the kernel."""
     b, h, t, dh = q.shape
-    block_q = min(block_q, t)
-    block_k = min(block_k, t)
-    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
+    block_q = min(block_q, _round_up(t, 128))
+    block_k = min(block_k, _round_up(t, 128))
+    tp = _round_up(t, max(block_q, block_k))
+    if tp != t:
+        pad = [(0, 0), (0, 0), (0, tp - t), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
     scale = dh ** -0.5
 
-    kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=t, scale=scale)
-    grid = (b * h, t // block_q)
-    qf = q.reshape(b * h, t, dh)
-    kf = k.reshape(b * h, t, dh)
-    vf = v.reshape(b * h, t, dh)
+    kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=tp, scale=scale, valid_len=t)
+    grid = (b * h, tp // block_q)
+    qf = q.reshape(b * h, tp, dh)
+    kf = k.reshape(b * h, tp, dh)
+    vf = v.reshape(b * h, tp, dh)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, t, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, tp, dh), q.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, block_q, dh), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t, dh), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t, dh), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, dh), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, dh), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * t * t * dh,
-            bytes_accessed=(3 * b * h * t * dh + b * h * t * dh) * q.dtype.itemsize,
-            transcendentals=b * h * t * t,
+            flops=4 * b * h * tp * tp * dh,
+            bytes_accessed=(3 * b * h * tp * dh + b * h * tp * dh) * q.dtype.itemsize,
+            transcendentals=b * h * tp * tp,
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(b, h, t, dh)
+    out = out.reshape(b, h, tp, dh)
+    return out[:, :, :t] if tp != t else out
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
 
 
 def attend_flash_or_xla(q, k, v, *, key_mask=None, causal=False, min_seq_for_flash: int = 512):
@@ -100,6 +123,6 @@ def attend_flash_or_xla(q, k, v, *, key_mask=None, causal=False, min_seq_for_fla
     t = q.shape[-2]
     on_tpu = jax.devices()[0].platform == "tpu"
     if (key_mask is None and not causal and on_tpu and t >= min_seq_for_flash
-            and t % 256 == 0 and q.shape[-1] <= 256):
+            and q.shape[-1] <= 256):
         return flash_attention(q, k, v)
     return attend(q, k, v, key_mask=key_mask, causal=causal)

@@ -70,7 +70,8 @@ def init_train_state(params, cfg: TrainConfig) -> TrainState:
     return TrainState(
         params=params,
         opt_state=tx.init(params),
-        ema_params=jax.tree_util.tree_map(jnp.asarray, params),
+        # real copy: ema must not alias params (donated buffers may not repeat)
+        ema_params=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params),
         ema_num_updates=jnp.zeros((), jnp.int32),
         step=jnp.zeros((), jnp.int32),
     )

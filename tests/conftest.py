@@ -1,13 +1,19 @@
 import os
 import sys
 
-# CPU-only for tests; 8 virtual devices for multi-chip sharding tests.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# 8 virtual CPU devices for multi-chip sharding tests. NOTE: this axon jax
+# build IGNORES the JAX_PLATFORMS env var (the shell exports JAX_PLATFORMS=axon
+# and even exec-time env overrides don't take) — the only working override is
+# jax.config.update('jax_platforms', ...) before first backend use.
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import covomix_tpu.util.jaxcache  # noqa: E402,F401  (persistent compile cache)
 

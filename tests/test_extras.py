@@ -50,6 +50,20 @@ def test_early_exit_loss_added():
     assert loss_ee > loss0
 
 
+def test_precomputed_source_embeddings(params):
+    """External frozen text encoder path (bert_init_emb/t5_init_emb parity)."""
+    key = jax.random.PRNGKey(8)
+    emb = jax.random.normal(key, (2, 7, CFG.dim))
+    mask = jnp.ones((2, 7), bool)
+    tgt = jax.random.randint(key, (2, 6), 0, 20)
+    loss = jax.jit(functools.partial(T.forward_loss, cfg=CFG))(
+        params, source_ids=None, target_ids=tgt, source_emb=emb, source_mask=mask)
+    assert np.isfinite(float(loss))
+    gen = jax.jit(functools.partial(T.generate, cfg=CFG, max_length=6))(
+        params, key=key, source_ids=None, source_emb=emb, source_mask=mask)
+    assert gen.tokens.shape == (2, 6)
+
+
 def test_alignment_regularizer_zero_for_identical():
     from covomix_tpu.parallel.collectives import alignment_regularizer
 

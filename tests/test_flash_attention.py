@@ -20,6 +20,20 @@ def test_flash_matches_einsum_attention():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_unaligned_length_masked_padding():
+    """T=300 pads to 512 internally; padded key columns must not leak."""
+    key = jax.random.PRNGKey(3)
+    b, h, t, dh = 1, 2, 300, 32
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        ref = attend(q, k, v)
+        out = flash_attention(q, k, v, interpret=True)
+    assert out.shape == (b, h, t, dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_flash_dispatch_falls_back_off_tpu():
     from covomix_tpu.ops.flash_attention import attend_flash_or_xla
 
