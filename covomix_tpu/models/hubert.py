@@ -58,7 +58,7 @@ class HubertConfig:
 
 
 def init(key, cfg: HubertConfig):
-    keys = iter(jax.random.split(key, 8 + 4 * cfg.encoder_layers + len(cfg.conv_layers)))
+    keys = iter(jax.random.split(key, 8 + 6 * cfg.encoder_layers + len(cfg.conv_layers)))
     d = cfg.encoder_embed_dim
     p = {
         "conv_layers": [],

@@ -39,7 +39,7 @@ class BatchedPipeline:
     vocoder_cfg: V.VocoderConfig
     mesh: Optional[Mesh] = None
     decode_len: int = 512
-    prompt_frames: int = 400
+    prompt_frames: int = 400   # informational default; the actual prompt length comes from the inputs
     cond_scale: float = 0.7
     dtype: object = jnp.bfloat16
 
@@ -89,5 +89,7 @@ class BatchedPipeline:
         cond = cond.at[:, : prompt_mels.shape[1]].set(jnp.asarray(prompt_mels, jnp.float32))
         mel = self._sample(self.acoustic_params, key=k2,
                            phoneme_ids=self._shard(phonemes), cond=self._shard(cond))
-        wav = self._voc(self.vocoder_params, mel=mel[:, self.prompt_frames:])
+        # vocode only the generated region (prompt frames are conditioning)
+        gen_start = pt.shape[1]
+        wav = self._voc(self.vocoder_params, mel=mel[:, gen_start:])
         return wav, (gen.tokens, gen.tokens2)

@@ -117,10 +117,15 @@ def process_conversation_file(trans_path: str, audio_path: str, dest: str, *, ma
             continue
         seg_start = min(u[0] for u in buffer)
         seg_end = max(u[1] for u in buffer)
-        if t0 < seg_end:
-            buffer.append((t0, t1, spk, text))  # overlap extends the segment
+        both_speakers = len({u[2] for u in buffer}) == 2
+        # reference flush rule (process_fisher_data_conversation_overlap_
+        # text2semantic.py:289-345): write only once BOTH channels have spoken
+        # and the next utterance does not overlap the buffered span; overlong
+        # (>40 s) buffers are dropped, not written
+        if t0 < seg_end or not both_speakers:
+            buffer.append((t0, t1, spk, text))  # overlap / single-speaker: keep accumulating
             continue
-        if seg_end - seg_start <= max_duration and len({u[2] for u in buffer}) >= 1:
+        if seg_end - seg_start <= max_duration:
             transcript = merge_turns(buffer)
             first_spk = sorted(buffer, key=lambda u: u[0])[0][2]
             clip = audio[floor(seg_start * sr): ceil(seg_end * sr)]
