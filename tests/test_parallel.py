@@ -67,6 +67,30 @@ def test_graft_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+def test_batched_pipeline_on_dp_mesh():
+    """Serving pipeline sharded over the 8-device mesh (BASELINE config 5 shape)."""
+    from covomix_tpu.models import text2semantic as T, vocoder as V
+    from covomix_tpu.serving import BatchedPipeline
+
+    key = jax.random.PRNGKey(11)
+    t2s_cfg = T.T2SConfig(dim=32, source_depth=1, target_depth=1, heads=2, dim_head=16,
+                          num_text_tokens=30, num_semantic_tokens=20, target_dim=32, two_output=True)
+    ac_cfg = A.AcousticConfig(dim_in=160, dim=32, depth=2, heads=2, dim_head=16,
+                              dim_phoneme_emb=16, num_phoneme_tokens=502, mode="two_one")
+    voc_cfg = V.VocoderConfig(upsample_initial_channel=16)
+    mesh = make_mesh(dp=8, tp=1)
+    pipe = BatchedPipeline(
+        jax.jit(T.init, static_argnums=1)(key, t2s_cfg), t2s_cfg,
+        jax.jit(A.init, static_argnums=1)(key, ac_cfg), ac_cfg,
+        jax.jit(V.init_generator, static_argnums=1)(key, voc_cfg), voc_cfg,
+        mesh=mesh, decode_len=8, dtype=jnp.float32)
+    B = 8
+    wav, _ = pipe(key, np.ones((B, 5), np.int32), np.zeros((B, 4), np.int32),
+                  np.zeros((B, 4, 160), np.float32))
+    assert wav.shape == (B, 8 * 160 + 32)
+    assert np.isfinite(np.asarray(wav, np.float32)).all()
+
+
 def test_graft_entry_compiles():
     import __graft_entry__ as g
 
