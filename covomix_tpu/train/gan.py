@@ -166,19 +166,16 @@ def make_gan_step(voc_cfg: V.VocoderConfig, mel_cfg: MelConfig, mel_loss_cfg: Me
         y_hat = jax.lax.stop_gradient(gen_fwd(state.gen_params, mel, y.shape[1]))
         d_params = {"mpd": state.mpd_params, "msd": state.msd_params}
         (d_loss, (lf, ls)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(d_params, y, y_hat)
-        d_updates, opt_d = opt_d_tx_update(d_grads, state.opt_d, d_params)
+        d_updates, opt_d_state = opt_d.update(d_grads, state.opt_d, d_params)
         d_params = optax.apply_updates(d_params, d_updates)
         # ---- generator step (train.py:153-167)
         (g_loss, (l_mel, l_fm, l_adv, _)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.gen_params, d_params, mel, y, mel_loss_target)
         g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_updates)
-        new_state = GanState(gen_params, d_params["mpd"], d_params["msd"], opt_g_state, opt_d, state.step + 1)
+        new_state = GanState(gen_params, d_params["mpd"], d_params["msd"], opt_g_state, opt_d_state, state.step + 1)
         return new_state, {"loss_disc": d_loss, "loss_gen": g_loss, "mel_error": l_mel / cfg.mel_loss_weight,
                            "loss_fm": l_fm, "loss_adv": l_adv}
-
-    def opt_d_tx_update(grads, opt_state, params):
-        return opt_d.update(grads, opt_state, params)
 
     return jax.jit(step, donate_argnums=(0,))
 
