@@ -298,6 +298,115 @@ def sample(
     return y
 
 
+# Tsitouras 5(4) Runge-Kutta coefficients (the torchode Tsit5 method used by
+# the reference's use_torchode=True path, acoustic.py:659-683)
+_TSIT5_C = (0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0)
+_TSIT5_A = (
+    (),
+    (0.161,),
+    (-0.008480655492356989, 0.335480655492357),
+    (2.8971530571054935, -6.359448489975075, 4.3622954328695815),
+    (5.325864828439257, -11.748883564062828, 7.4955393428898365, -0.09249506636175525),
+    (5.86145544294642, -12.92096931784711, 8.159367898576159, -0.071584973281401, -0.028269050394068383),
+    (0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742, -3.290069515436081, 2.324710524099774),
+)
+_TSIT5_B = (0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742, -3.290069515436081, 2.324710524099774, 0.0)
+# error-estimate weights btilde = b - bhat (standard Tsitouras 5(4) values)
+_TSIT5_E = (
+    -0.001780011052226, -0.000816434459657, 0.007880878010262, -0.144711007173263,
+    0.582357165452555, -0.458082105929187, 1.0 / 66.0,
+)
+
+
+def sample_adaptive(
+    params,
+    cfg: AcousticConfig,
+    key,
+    phoneme_ids: jnp.ndarray,
+    cond: jnp.ndarray,
+    *,
+    cond_scale: float = 1.0,
+    atol: float = 1e-5,
+    rtol: float = 1e-5,
+    max_steps: int = 64,
+    dtype=jnp.float32,
+):
+    """Adaptive Tsit5 integration of the vector field (torchode path parity,
+    acoustic.py:659-683: Tsit5 + IntegralController(atol, rtol)) as a single
+    jitted `lax.while_loop` with static max_steps. Step size adapts via the
+    embedded 4th-order error estimate and an integral (I) controller.
+
+    Returns (y, num_steps_taken). Typically fewer field evaluations than the
+    16-step midpoint sampler for smooth (trained) fields at these tolerances.
+
+    NOTE: run with dtype=float32 — bf16 field evaluations put the embedded
+    error estimate at the bf16 noise floor (~1e-2 relative), far above the
+    reference tolerances, so the controller keeps rejecting steps until
+    max_steps. The production serving path uses the midpoint sampler (the
+    reference's quality-validated default)."""
+    b, t = cond.shape[0], cond.shape[1]
+    y0 = jax.random.normal(key, (b, t, cfg.mel_dim), jnp.float32)
+    use_cfg = cond_scale != 1.0
+
+    if use_cfg:
+        ph2 = jnp.concatenate([phoneme_ids, phoneme_ids], axis=0)
+        c2 = jnp.concatenate([cond, cond], axis=0)
+        drop = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)], axis=0)
+
+        def field(y, tt):
+            y2 = jnp.concatenate([y, y], axis=0)
+            times = jnp.full((2 * b,), tt)
+            out = forward(params, cfg, y2, ph2, c2, times, cond_drop_mask=drop, dtype=dtype)
+            return out[:b] * (1 + cond_scale) - cond_scale * out[b:]
+    else:
+        zdrop = jnp.zeros((b,), bool)
+
+        def field(y, tt):
+            times = jnp.full((b,), tt)
+            return forward(params, cfg, y, phoneme_ids, cond, times, cond_drop_mask=zdrop, dtype=dtype)
+
+    n_stages = 7
+
+    def rk_step(y, tt, h):
+        ks = []
+        for s in range(n_stages):
+            y_s = y
+            for j, a in enumerate(_TSIT5_A[s]):
+                y_s = y_s + h * a * ks[j]
+            ks.append(field(y_s, tt + _TSIT5_C[s] * h))
+        y_new = y
+        err = jnp.zeros_like(y)
+        for s in range(n_stages):
+            y_new = y_new + h * _TSIT5_B[s] * ks[s]
+            err = err + h * _TSIT5_E[s] * ks[s]
+        return y_new, err
+
+    def err_norm(err, y, y_new):
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+        return jnp.sqrt(jnp.mean(jnp.square(err / scale)))
+
+    def cond_fn(state):
+        tt, _, _, steps, _ = state
+        return (tt < 1.0) & (steps < max_steps)
+
+    def body_fn(state):
+        tt, y, h, steps, _ = state
+        h = jnp.minimum(h, 1.0 - tt)
+        y_new, err = rk_step(y, tt, h)
+        en = err_norm(err, y, y_new)
+        accept = en <= 1.0
+        # integral controller: h *= clip(0.9 * en^(-1/5), 0.2, 5)
+        factor = jnp.clip(0.9 * jnp.power(jnp.maximum(en, 1e-10), -0.2), 0.2, 5.0)
+        h_next = h * factor
+        tt = jnp.where(accept, tt + h, tt)
+        y = jnp.where(accept, y_new, y)
+        return (tt, y, h_next, steps + 1, en)
+
+    state = (jnp.float32(0.0), y0, jnp.float32(0.05), jnp.int32(0), jnp.float32(0.0))
+    tt, y, _, steps, _ = jax.lax.while_loop(cond_fn, body_fn, state)
+    return y, steps
+
+
 def sample_regression(params, cfg: AcousticConfig, key, phoneme_ids, cond, *, cond_scale: float = 1.0, dtype=jnp.float32):
     """Single-shot regression sample at random t (acoustic.py:690-727)."""
     kt, kn = jax.random.split(key)
