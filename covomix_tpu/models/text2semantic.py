@@ -498,6 +498,202 @@ def generate(
 
 
 # ---------------------------------------------------------------------------
+# self-speculative decoding via the early-exit head
+#
+# The reference trains an early-exit semantic head "for speculative decoding,
+# to speed up text-to-speech decoding" (text2semantic.py:600-615) but ships no
+# decode loop for it. This is that loop, TPU-native: draft gamma tokens with
+# decoder layers 1..E + the early-exit head (cheap), then verify all drafts in
+# ONE full-depth forward over gamma+1 positions; accept the longest matching
+# prefix plus the full model's bonus token. Greedy-lossless: the output is
+# IDENTICAL to greedy full-model decoding, only faster when the draft agrees.
+
+
+def _rotary_at(positions_b, inv_freq, t):
+    """Per-row rotary: positions_b [B], t [B, H, 1, dh] (one query per row)."""
+    freqs = positions_b[:, None].astype(jnp.float32) * inv_freq[None, :]  # [B, dh/2]
+    freqs = jnp.repeat(freqs, 2, axis=-1)[:, None, None, :]               # [B,1,1,dh]
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    shape = t.shape
+    tp = t.reshape(shape[:-1] + (shape[-1] // 2, 2))
+    rot = jnp.stack([-tp[..., 1], tp[..., 0]], axis=-1).reshape(shape)
+    return (t * cos.astype(t.dtype) + rot * sin.astype(t.dtype)).astype(t.dtype)
+
+
+def _rotary_at_span(start_b, inv_freq, t):
+    """Per-row rotary over a span: start_b [B], t [B, H, S, dh] at absolute
+    positions start_b + [0..S)."""
+    s = t.shape[-2]
+    pos = start_b[:, None] + jnp.arange(s)[None, :]                       # [B, S]
+    freqs = pos[..., None].astype(jnp.float32) * inv_freq[None, None, :]  # [B,S,dh/2]
+    freqs = jnp.repeat(freqs, 2, axis=-1)[:, None, :, :]                  # [B,1,S,dh]
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    shape = t.shape
+    tp = t.reshape(shape[:-1] + (shape[-1] // 2, 2))
+    rot = jnp.stack([-tp[..., 1], tp[..., 0]], axis=-1).reshape(shape)
+    return (t * cos.astype(t.dtype) + rot * sin.astype(t.dtype)).astype(t.dtype)
+
+
+def _write_cache_at(cache, new, offsets):
+    """cache [B,H,L,dh]; new [B,H,S,dh]; offsets [B] -> per-row dynamic write."""
+    return jax.vmap(lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (0, o, 0)))(cache, new, offsets)
+
+
+def generate_speculative(
+    params,
+    cfg: T2SConfig,
+    source_ids: jnp.ndarray,   # [B, S]
+    *,
+    max_length: int = 2048,
+    gamma: int = 4,
+    dtype=jnp.float32,
+) -> GenerateResult:
+    """Greedy speculative decode (single-output models with an early-exit head).
+
+    Requires cfg.target_early_exit_layer > 0 and params['early_exit'].
+    Output equals greedy `generate` exactly (argmax draft, argmax verify,
+    accept-on-match); throughput gain scales with draft acceptance, i.e. with
+    how well the early-exit head was trained (detach_early_exit_embed etc.)."""
+    assert not cfg.two_output and not cfg.two_input, "speculative decode: single-stream only"
+    assert cfg.target_early_exit_layer > 0 and "early_exit" in params, "needs the early-exit head"
+    b = source_ids.shape[0]
+    heads, depth, dh = cfg.heads, cfg.target_depth, cfg.dim_head
+    early = cfg.target_early_exit_layer
+    eos, pad = cfg.semantic_eos_id, cfg.semantic_pad_id
+    CL = max_length + gamma + 2  # cache length incl. margin for in-flight drafts
+
+    src = S.set_eos_id(source_ids, cfg.text_eos_id, cfg.text_pad_id)
+    source_mask = src != cfg.text_pad_id
+    context = encode_source(params, cfg, embed_source(params, cfg, src, dtype), source_mask, dtype)
+    cross_kvs = [_context_kv(lp["cross_attn"], context, heads) for lp in params["target_layers"]]
+    inv = L.rotary_freqs(dh)
+
+    cache_k = jnp.zeros((depth, b, heads, CL, dh), dtype)
+    cache_v = jnp.zeros((depth, b, heads, CL, dh), dtype)
+    tokens = jnp.full((b, CL), pad, jnp.int32)
+    lens = jnp.zeros((b,), jnp.int32)     # tokens accepted per row
+    done = jnp.zeros((b,), bool)
+
+    pos_idx = jnp.arange(CL)
+
+    def layer_step_single(lp, x, ck, cv, pos_b):
+        """One decoder layer for a single per-row position. x [B,1,D]."""
+        h = L.rmsnorm(lp["self_attn"]["norm"], x)
+        q = L.split_heads(L.linear(lp["self_attn"]["q"], h), heads)
+        k_new, v_new = jnp.split(L.linear(lp["self_attn"]["kv"], h), 2, axis=-1)
+        k_new, v_new = L.split_heads(k_new, heads), L.split_heads(v_new, heads)
+        q = _rotary_at(pos_b, inv, q)
+        k_new = _rotary_at(pos_b, inv, k_new)
+        ck = _write_cache_at(ck, k_new, pos_b)
+        cv = _write_cache_at(cv, v_new, pos_b)
+        kmask = pos_idx[None, :] <= pos_b[:, None]
+        att = L.attend(q, ck, cv, key_mask=kmask)
+        return L.linear(lp["self_attn"]["out"], L.merge_heads(att)) + x, ck, cv
+
+    def draft_one(tok_prev, pos_b, cache_k, cache_v):
+        """Draft layers 1..E + early-exit head. Returns (token, caches)."""
+        e = L.embedding(params["sem_emb"], jnp.clip(tok_prev, 0, cfg.num_semantic_tokens), dtype)
+        x = jnp.where((pos_b == 0)[:, None], params["start_speech"].astype(dtype)[None, :], e)[:, None, :]
+        new_k, new_v = cache_k, cache_v
+        for li in range(early):
+            lp = params["target_layers"][li]
+            x, ck, cv = layer_step_single(lp, x, new_k[li], new_v[li], pos_b)
+            new_k = new_k.at[li].set(ck)
+            new_v = new_v.at[li].set(cv)
+            x = _cross_attn(lp["cross_attn"], x, cross_kvs[li], heads, context_mask=source_mask) + x
+            x = _ff(lp["ff"], x) + x
+        ee = params["early_exit"]
+        hh = x + _ff(ee["ff"], x)
+        logits = L.linear(ee["to_logits"], L.rmsnorm(ee["norm"], hh)).astype(jnp.float32)[:, 0]
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_k, new_v
+
+    def verify(drafts, lens, tokens, cache_k, cache_v):
+        """Full-depth forward over gamma+1 per-row positions lens..lens+gamma.
+        Input tokens at those positions: [token[lens-1], drafts...]."""
+        span = gamma + 1
+        prev = jax.vmap(lambda t, l: t[jnp.maximum(l - 1, 0)])(tokens, lens)
+        in_toks = jnp.concatenate([prev[:, None], drafts], axis=1)  # [B, span]
+        e = L.embedding(params["sem_emb"], jnp.clip(in_toks, 0, cfg.num_semantic_tokens), dtype)
+        start = jnp.broadcast_to(params["start_speech"].astype(dtype), (b, cfg.target_dim))
+        e = e.at[:, 0].set(jnp.where((lens == 0)[:, None], start, e[:, 0]))
+        x = e
+        new_k, new_v = cache_k, cache_v
+        for li, lp in enumerate(params["target_layers"]):
+            h = L.rmsnorm(lp["self_attn"]["norm"], x)
+            q = L.split_heads(L.linear(lp["self_attn"]["q"], h), heads)
+            k_new, v_new = jnp.split(L.linear(lp["self_attn"]["kv"], h), 2, axis=-1)
+            k_new, v_new = L.split_heads(k_new, heads), L.split_heads(v_new, heads)
+            q = _rotary_at_span(lens, inv, q)
+            k_new = _rotary_at_span(lens, inv, k_new)
+            ck = _write_cache_at(new_k[li], k_new, lens)
+            cv = _write_cache_at(new_v[li], v_new, lens)
+            new_k = new_k.at[li].set(ck)
+            new_v = new_v.at[li].set(cv)
+            # causal over the cache: query at lens+j sees keys <= lens+j
+            qpos = lens[:, None] + jnp.arange(span)[None, :]               # [B, span]
+            kmask = pos_idx[None, None, :] <= qpos[:, :, None]             # [B, span, L]
+            sim = jnp.einsum("bhid,bhjd->bhij", q, ck, preferred_element_type=jnp.float32) * (dh ** -0.5)
+            sim = jnp.where(kmask[:, None], sim, -jnp.inf)
+            att = jax.nn.softmax(sim, axis=-1)
+            att = jnp.where(jnp.isnan(att), 0.0, att)
+            o = jnp.einsum("bhij,bhjd->bhid", att.astype(cv.dtype), cv)
+            x = L.linear(lp["self_attn"]["out"], L.merge_heads(o)) + x
+            x = _cross_attn(lp["cross_attn"], x, cross_kvs[li], heads, context_mask=source_mask) + x
+            x = _ff(lp["ff"], x) + x
+        x = L.rmsnorm(params["target_final_norm"], x)
+        logits = _sem_logits(params, x, dtype)                              # [B, span, V+1]
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_k, new_v  # greedy full tokens
+
+    def cond_fn(state):
+        tokens, lens, done, _, _, it = state
+        active = (~done) & (lens < max_length)
+        return jnp.any(active) & (it < max_length)
+
+    def body_fn(state):
+        tokens, lens, done, cache_k, cache_v, it = state
+        # ---- draft gamma tokens sequentially with the early model
+        drafts = jnp.zeros((b, gamma), jnp.int32)
+        dk, dv = cache_k, cache_v
+        prev = jax.vmap(lambda t, l: t[jnp.maximum(l - 1, 0)])(tokens, lens)
+        for j in range(gamma):
+            tok_j, dk, dv = draft_one(prev, lens + j, dk, dv)
+            drafts = drafts.at[:, j].set(tok_j)
+            prev = tok_j
+        # ---- verify with the full model (overwrites layer caches cleanly)
+        full, cache_k, cache_v = verify(drafts, lens, tokens, cache_k, cache_v)
+        # ---- accept longest matching prefix + bonus
+        match = drafts == full[:, :gamma]                                   # [B, gamma]
+        n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
+        bonus = jax.vmap(lambda f, n: f[n])(full, n_acc)                    # [B]
+        # write accepted drafts + bonus into the token buffer at per-row lens
+        out_span = jnp.concatenate([drafts, jnp.zeros((b, 1), jnp.int32)], axis=1)
+        out_span = jax.vmap(lambda row, n, bo: row.at[n].set(bo))(out_span, n_acc, bonus)
+        take = jnp.arange(gamma + 1)[None, :] <= n_acc[:, None]             # [B, gamma+1]
+        take = take & ((~done) & (lens < max_length))[:, None]
+        cur = jax.vmap(lambda t, l: jax.lax.dynamic_slice(t, (l,), (gamma + 1,)))(tokens, jnp.minimum(lens, CL - gamma - 1))
+        new_span = jnp.where(take, out_span, cur)
+        tokens = jax.vmap(lambda t, s, l: jax.lax.dynamic_update_slice(t, s, (l,)))(tokens, new_span, jnp.minimum(lens, CL - gamma - 1))
+        n_new = jnp.where(done | (lens >= max_length), 0, n_acc + 1)
+        # EOS inside the newly accepted span?
+        hit_eos = jnp.any((new_span == eos) & take, axis=1)
+        lens = jnp.minimum(lens + n_new, max_length)
+        done = done | hit_eos
+        return (tokens, lens, done, cache_k, cache_v, it + 1)
+
+    state = (tokens, lens, done, cache_k, cache_v, jnp.int32(0))
+    tokens, lens, done, _, _, iters = jax.lax.while_loop(cond_fn, body_fn, state)
+
+    valid = pos_idx[None, :] < lens[:, None]
+    tokens = jnp.where(valid, tokens, pad)
+    tokens = tokens[:, :max_length]
+    stopped = jnp.all(done)
+    masked = S.mask_after_eos(tokens, eos, pad)
+    tokens = jnp.where(stopped, masked, tokens)
+    out_len = jnp.sum(tokens != pad, axis=-1)
+    return GenerateResult(tokens, tokens, out_len, out_len, iters)
+
+
+# ---------------------------------------------------------------------------
 # auxiliary training wrappers (text2semantic.py:1108-1201)
 
 
