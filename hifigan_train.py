@@ -22,6 +22,8 @@ import covomix_tpu.util.jaxcache  # noqa: F401
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--input_wavs_dir", required=True)
+    p.add_argument("--input_validation_dir", default=None, help="held-out wavs for mel-L1 validation")
+    p.add_argument("--validation_interval", type=int, default=1000)
     p.add_argument("--input_mels_dir", default=None, help="fine-tuning: precomputed mels")
     p.add_argument("--checkpoint_path", default="cp_hifigan")
     p.add_argument("--config", default="config_covomix.json")
@@ -99,6 +101,37 @@ def main():
         state = cio.load_train_state(args.checkpoint_path, start, state)
         print(f"resumed from step {start}")
 
+    # validation: copy-synthesis mel-L1 on held-out wavs + sample audio to TB
+    # (hifi-gan/train.py:192-225 rank-0 validation loop)
+    from covomix_tpu.train.gan import wn_fold
+    from covomix_tpu.util.logging_utils import MetricsLogger
+
+    logger = MetricsLogger(args.checkpoint_path)
+    val_files = sorted(glob.glob(os.path.join(args.input_validation_dir, "**", "*.wav"),
+                                 recursive=True))[:8] if args.input_validation_dir else []
+
+    def validate(state, step_i):
+        import functools
+
+        from covomix_tpu.models import vocoder as Vm
+
+        gen = wn_fold(state.gen_params) if gan_cfg.weight_norm else state.gen_params
+        voc = jax.jit(functools.partial(Vm.generator, cfg=voc_cfg))
+        errs = []
+        for vi, f in enumerate(val_files):
+            wav, _ = load_wav(f, sr=sr)
+            wav = wav[: seg] if len(wav) >= seg else np.pad(wav, (0, seg - len(wav)))
+            mel = np.asarray(mel_spectrogram(wav[None], mel_cfg)).transpose(0, 2, 1)
+            y_hat = np.asarray(voc(gen, mel=jnp.asarray(mel)))[0][: len(wav)]
+            mel_hat = np.asarray(mel_spectrogram(y_hat[None], mel_loss_cfg))
+            mel_ref = np.asarray(mel_spectrogram(wav[None], mel_loss_cfg))
+            errs.append(float(np.mean(np.abs(mel_hat - mel_ref))))
+            if vi == 0:
+                logger.log_audio(step_i, "validation/sample", y_hat, sr)
+        val = float(np.mean(errs)) if errs else float("nan")
+        logger.log(step_i, {"validation_mel_l1": val})
+        print(json.dumps({"step": step_i, "validation_mel_l1": round(val, 4)}), flush=True)
+
     t0 = time.time()
     for step_i in range(start, args.training_steps):
         state, metrics = step_fn(state, sample_batch())
@@ -107,6 +140,8 @@ def main():
             print(json.dumps({"step": step_i + 1, **m,
                               "sps": round(args.stdout_interval / (time.time() - t0), 2)}), flush=True)
             t0 = time.time()
+        if val_files and (step_i + 1) % args.validation_interval == 0:
+            validate(state, step_i + 1)
         if (step_i + 1) % args.checkpoint_interval == 0:
             cio.save_train_state(args.checkpoint_path, jax.device_get(state), step_i + 1)
             gen = export_generator(state, gan_cfg)
