@@ -109,3 +109,78 @@ def latest_step(ckpt_dir: str) -> int | None:
         return None
     steps = [int(d.split("_")[1]) for d in os.listdir(ckpt_dir) if d.startswith("step_")]
     return max(steps) if steps else None
+
+
+class TopKCheckpointer:
+    """save_last + keep-top-K-by-metric checkpoint policy, matching the
+    reference's ModelCheckpoint(save_last=True, save_top_k=10, monitor='l2')
+    (/root/reference/train.py:72-76, lower is better).
+
+    * `save(state, step)` — rolling "last" save; the previous unranked last is
+      pruned so long runs don't fill the disk.
+    * `save(state, step, metric=l2)` — ranked save; only the best `top_k`
+      ranked checkpoints survive (plus the rolling last).
+    The ranking persists in topk.json for resume; `best_step()` returns the
+    current best ranked step."""
+
+    def __init__(self, ckpt_dir: str, top_k: int = 10, mode: str = "min"):
+        assert mode in ("min", "max")
+        self.ckpt_dir = ckpt_dir
+        self.top_k = top_k
+        self.mode = mode
+        self._index_path = os.path.join(ckpt_dir, "topk.json")
+        self.ranked: dict[int, float] = {}
+        self.last_step: int | None = None
+        if os.path.isfile(self._index_path):
+            with open(self._index_path) as f:
+                idx = json.load(f)
+            self.ranked = {int(k): float(v) for k, v in idx.get("ranked", {}).items()}
+            self.last_step = idx.get("last_step")
+
+    def _persist(self):
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        with open(self._index_path, "w") as f:
+            json.dump({"ranked": {str(k): v for k, v in self.ranked.items()},
+                       "last_step": self.last_step,
+                       "best_step": self.best_step()}, f, indent=2)
+
+    def _delete(self, step: int):
+        import shutil
+
+        path = os.path.join(self.ckpt_dir, f"step_{step:08d}")
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+
+    def _kept_steps(self) -> set:
+        keep = set(self.ranked.keys())
+        if self.last_step is not None:
+            keep.add(self.last_step)
+        return keep
+
+    def save(self, state: Any, step: int, metric: float | None = None) -> None:
+        prev_last = self.last_step
+        save_train_state(self.ckpt_dir, state, step)
+        self.last_step = step
+        if metric is not None:
+            self.ranked[step] = float(metric)
+            if len(self.ranked) > self.top_k:
+                order = sorted(self.ranked.items(), key=lambda kv: kv[1],
+                               reverse=(self.mode == "max"))
+                for s, _ in order[self.top_k:]:
+                    del self.ranked[s]
+        keep = self._kept_steps()
+        if prev_last is not None and prev_last != step and prev_last not in keep:
+            self._delete(prev_last)
+        for d in os.listdir(self.ckpt_dir):
+            if d.startswith("step_"):
+                s = int(d.split("_")[1])
+                if s not in keep:
+                    self._delete(s)
+        self._persist()
+
+    def best_step(self) -> int | None:
+        if not self.ranked:
+            return None
+        order = sorted(self.ranked.items(), key=lambda kv: kv[1],
+                       reverse=(self.mode == "max"))
+        return order[0][0]

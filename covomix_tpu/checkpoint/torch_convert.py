@@ -104,27 +104,72 @@ def _ln(sd, key):
 _EMA_SKIP_SUBSTR = ("rotary_emb", "inv_freq", ".freqs")
 
 
+def _storage_sid(v):
+    """Identity key for tied-tensor detection. torch.save/load preserves storage
+    sharing, so tied weights (T2S to_logits.weight is token_emb.weight,
+    text2semantic.py:545-552) compare equal here."""
+    ptr = getattr(v, "data_ptr", None)
+    if callable(ptr):
+        try:
+            return (ptr(), tuple(v.shape))
+        except Exception:
+            pass
+    return (id(v), tuple(np.shape(v)))
+
+
 def apply_ema(state_dict: dict, ema_state: dict) -> dict:
     """Replace parameter tensors with the EMA shadow (torch_ema layout:
     {'decay', 'num_updates', 'shadow_params': [tensor, ...]}), matching
     ExponentialMovingAverage.copy_to at eval time (conditional_model.py:203-217).
 
-    The shadow list is aligned with requires_grad parameters in registration
-    order == state_dict order minus known non-trained entries. Tied weights
-    (T2S to_logits share the embedding tensor) appear once in state_dict, so
-    alignment holds."""
-    shadow = ema_state["shadow_params"]
+    torch_ema tracks `[p for p in module.parameters() if p.requires_grad]`;
+    `parameters()` dedupes tied tensors and excludes buffers, and its order is
+    the state-dict registration order. So alignment proceeds by (1) collapsing
+    state-dict keys that share storage (tied weights) to their first occurrence,
+    (2) dropping known non-trained entries (rotary freqs/inv_freq), then
+    (3) zipping with the shadow list; if the count still disagrees, a greedy
+    shape-sequence alignment skips unrecognized buffers. Every alias of a tied
+    weight receives the shadow value."""
+    shadow = list(ema_state["shadow_params"])
     out = dict(state_dict)
-    param_keys = [k for k in state_dict.keys() if not any(s in k for s in _EMA_SKIP_SUBSTR)]
-    if len(param_keys) != len(shadow):
-        raise ValueError(
-            f"EMA shadow has {len(shadow)} tensors but state dict has "
-            f"{len(param_keys)} trainable entries; key filter needs updating"
-        )
-    for k, s in zip(param_keys, shadow):
-        if tuple(state_dict[k].shape) != tuple(s.shape):
-            raise ValueError(f"EMA shape mismatch at {k}: {state_dict[k].shape} vs {s.shape}")
+
+    canon: dict = {}
+    aliases: dict = {}
+    order = []
+    for k, v in state_dict.items():
+        sid = _storage_sid(v)
+        if sid in canon:
+            aliases.setdefault(canon[sid], []).append(k)
+        else:
+            canon[sid] = k
+            order.append(k)
+
+    cand = [k for k in order if not any(s in k for s in _EMA_SKIP_SUBSTR)]
+
+    pairs = None
+    if len(cand) == len(shadow) and all(
+        tuple(state_dict[k].shape) == tuple(s.shape) for k, s in zip(cand, shadow)
+    ):
+        pairs = list(zip(cand, shadow))
+    else:
+        # greedy shape-sequence alignment over unique keys in registration
+        # order; keys whose shape doesn't match the next shadow are untracked
+        # buffers / requires_grad=False params
+        pairs = []
+        si = 0
+        for k in cand:
+            if si < len(shadow) and tuple(state_dict[k].shape) == tuple(shadow[si].shape):
+                pairs.append((k, shadow[si]))
+                si += 1
+        if si != len(shadow):
+            raise ValueError(
+                f"EMA shadow has {len(shadow)} tensors but only {si} aligned with "
+                f"{len(cand)} unique trainable state-dict entries"
+            )
+    for k, s in pairs:
         out[k] = s
+        for a in aliases.get(k, ()):
+            out[a] = s
     return out
 
 
@@ -216,6 +261,18 @@ def convert_t2s(state_dict: dict, source_depth: int, target_depth: int, prefix: 
             "cross_attn": cross,
             "ff": _t2s_ff(sd, base + "2."),
         })
+    # early-exit speculative-decoding head: Residual(FeedForward) -> RMSNorm ->
+    # Linear (text2semantic.py:603-615)
+    if "to_early_exit_semantic_logits.2.weight" in sd:
+        p["early_exit"] = {
+            "ff": {
+                "norm": _rms(sd, "to_early_exit_semantic_logits.0.fn.0"),
+                "w1": _lin(sd, "to_early_exit_semantic_logits.0.fn.1"),
+                "w2": _lin(sd, "to_early_exit_semantic_logits.0.fn.4"),
+            },
+            "norm": _rms(sd, "to_early_exit_semantic_logits.1"),
+            "to_logits": {"w": _np(sd["to_early_exit_semantic_logits.2.weight"]).T},
+        }
     return p
 
 

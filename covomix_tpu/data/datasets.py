@@ -231,16 +231,27 @@ def collate_t2s(items: List[Dict], tokenizer, bucket: int = 64, max_text_len: in
     return {"text_ids": text_ids.astype(np.int32), "semantic_ids": sem}
 
 
-def data_loader(dataset, batch_size: int, collate, *, shuffle=True, seed=0, drop_last=True):
-    """Simple epoch iterator (the heavy lifting — decode + pad — is numpy;
-    prefetch via covomix_tpu.native.prefetch when available)."""
-    idx = np.arange(len(dataset))
-    rng = np.random.RandomState(seed)
-    while True:
-        if shuffle:
-            rng.shuffle(idx)
-        for s in range(0, len(idx) - (batch_size - 1 if drop_last else 0), batch_size):
-            batch_idx = idx[s : s + batch_size]
-            if len(batch_idx) == 0:
-                continue
-            yield collate([dataset[int(i)] for i in batch_idx])
+def data_loader(dataset, batch_size: int, collate, *, shuffle=True, seed=0, drop_last=True,
+                num_workers: int = 0, transfer=None):
+    """Epoch iterator (decode + pad in numpy). With num_workers > 0 the
+    iterator is wrapped in covomix_tpu.data.prefetch.PrefetchIterator so disk
+    IO / collate overlap the device step — the DataLoader(num_workers)
+    equivalent (covomix/data_module.py:813-818)."""
+
+    def epochs():
+        idx = np.arange(len(dataset))
+        rng = np.random.RandomState(seed)
+        while True:
+            if shuffle:
+                rng.shuffle(idx)
+            for s in range(0, len(idx) - (batch_size - 1 if drop_last else 0), batch_size):
+                batch_idx = idx[s : s + batch_size]
+                if len(batch_idx) == 0:
+                    continue
+                yield collate([dataset[int(i)] for i in batch_idx])
+
+    if num_workers > 0:
+        from covomix_tpu.data.prefetch import PrefetchIterator
+
+        return PrefetchIterator(epochs(), buffer_size=max(2, num_workers), transfer=transfer)
+    return epochs()

@@ -101,6 +101,15 @@ class WordPieceTokenizer:
             with open(vocab_path, encoding="utf-8") as f:
                 words = [line.rstrip("\n") for line in f]
         else:
+            import warnings
+
+            warnings.warn(
+                "No BERT vocab.txt supplied — using the char-level fallback vocab. "
+                "Token ids are NOT compatible with bert-base-uncased; any T2S "
+                "checkpoint trained with the real vocab will decode garbage. "
+                "Pass vocab_path=<bert-base-uncased vocab.txt> for checkpoint use.",
+                stacklevel=2,
+            )
             words = self._fallback_vocab()
         self.vocab = {w: i for i, w in enumerate(words)}
         self.inv_vocab = words

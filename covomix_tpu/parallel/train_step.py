@@ -11,10 +11,23 @@ from typing import Any, Callable
 
 import jax
 
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from covomix_tpu.parallel.mesh import batch_shardings, make_mesh, param_shardings, replicated, shard_tree
 from covomix_tpu.train.loop import TrainConfig, TrainState, init_train_state, make_optimizer, ema_update
 
 import optax
+
+
+def _constrain_batch(mesh, batch):
+    """Pin every batch leaf's leading axis to 'dp' (replicate scalars)."""
+
+    def con(leaf):
+        nd = jax.numpy.ndim(leaf)
+        spec = P() if nd == 0 else P(*(["dp"] + [None] * (nd - 1)))
+        return jax.lax.with_sharding_constraint(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(con, batch)
 
 
 def make_sharded_train_step(
@@ -23,15 +36,22 @@ def make_sharded_train_step(
     mesh,
     params_sharding: Any,
 ):
-    """Returns jitted step(state, batch, key) with sharding constraints baked in.
-    The optimizer/EMA state inherits the param shardings leaf-by-leaf."""
+    """Returns jitted step(state, batch, key) with the layout anchored end to
+    end: batch pinned to the 'dp' axis, grads / updated params / EMA pinned to
+    `params_sharding` (replicated for pure DP, 'tp'/'dp'-sharded for TP/FSDP).
+    Under FSDP the grad constraint makes XLA emit a reduce-scatter instead of a
+    full all-reduce; the optimizer then updates only each chip's shard."""
     tx = make_optimizer(cfg)
+    con = lambda tree: jax.tree_util.tree_map(
+        lambda x, s: jax.lax.with_sharding_constraint(x, s), tree, params_sharding)
 
     def step(state: TrainState, batch, key):
+        batch = _constrain_batch(mesh, batch)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        grads = con(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = ema_update(state.ema_params, params, state.ema_num_updates, cfg.ema_decay)
+        params = con(optax.apply_updates(state.params, updates))
+        ema = con(ema_update(state.ema_params, params, state.ema_num_updates, cfg.ema_decay))
         new_state = TrainState(params, opt_state, ema, state.ema_num_updates + 1, state.step + 1)
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 

@@ -123,12 +123,32 @@ def init_gan_state(key, voc_cfg: V.VocoderConfig, cfg: GanConfig) -> GanState:
                     jnp.zeros((), jnp.int32))
 
 
-def make_gan_step(voc_cfg: V.VocoderConfig, mel_cfg: MelConfig, mel_loss_cfg: MelConfig, cfg: GanConfig, dtype=jnp.float32):
+def make_gan_step(voc_cfg: V.VocoderConfig, mel_cfg: MelConfig, mel_loss_cfg: MelConfig, cfg: GanConfig, dtype=jnp.float32, mesh=None):
     """Returns jitted step(state, batch) -> (state, metrics).
-    batch: {'mel': [B, T, 80] input mel, 'audio': [B, T*hop] target,
-            'mel_loss_target': [B, Tm, 80] mel for the L1 loss}."""
+    batch: {'audio': [B, T*hop] target waveform} plus optionally
+           {'mel': [B, T, 80]} — precomputed input mel (fine-tuning mode,
+           hifi-gan/meldataset.py:142-160); when absent the input mel is
+           computed from `audio` INSIDE the jitted step (TPU-side, overlapping
+           nothing on the 1-core host). The mel-L1 target (fmax_for_loss) is
+           always computed in-step from `audio` (meldataset.py:163-166).
+
+    `mesh`: optional jax.sharding.Mesh with a 'dp' axis. The batch is pinned to
+    'dp' and params replicated; XLA emits the grad all-reduces over ICI — the
+    TPU-native replacement for hifi-gan/train.py:61-64's DDP wrap."""
     opt_g = _make_opt(cfg)
     opt_d = _make_opt(cfg)
+
+    def constrain_dp(batch):
+        if mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def con(leaf):
+            nd = jnp.ndim(leaf)
+            spec = P() if nd == 0 else P(*(["dp"] + [None] * (nd - 1)))
+            return jax.lax.with_sharding_constraint(leaf, NamedSharding(mesh, spec))
+
+        return jax.tree_util.tree_map(con, batch)
 
     def gen_fwd(gen_params, mel, out_len):
         p = wn_fold(gen_params) if cfg.weight_norm else gen_params
@@ -160,8 +180,14 @@ def make_gan_step(voc_cfg: V.VocoderConfig, mel_cfg: MelConfig, mel_loss_cfg: Me
         return loss_adv + loss_fm + loss_mel, (loss_mel, loss_fm, loss_adv, y_hat)
 
     def step(state: GanState, batch):
-        mel, y = batch["mel"], batch["audio"]
-        mel_loss_target = batch.get("mel_loss_target", batch["mel"])
+        batch = constrain_dp(batch)
+        y = batch["audio"]
+        # input mel: precomputed (fine-tuning) or on-device from the waveform
+        mel = batch["mel"] if "mel" in batch else jnp.swapaxes(mel_spectrogram(y, mel_cfg), 1, 2)
+        if "mel_loss_target" in batch:
+            mel_loss_target = batch["mel_loss_target"]
+        else:
+            mel_loss_target = jnp.swapaxes(mel_spectrogram(y, mel_loss_cfg), 1, 2)
         # ---- discriminator step on detached y_hat (train.py:137-150)
         y_hat = jax.lax.stop_gradient(gen_fwd(state.gen_params, mel, y.shape[1]))
         d_params = {"mpd": state.mpd_params, "msd": state.msd_params}

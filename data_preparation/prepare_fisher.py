@@ -1,27 +1,36 @@
-"""Fisher corpus preparation for CoVoMix training — fresh TPU-repo port of the
-reference data_preparation/process_fisher_data*.py capability.
+"""Fisher corpus preparation for CoVoMix training — TPU-repo port of all three
+reference data_preparation/process_fisher_data*.py scripts, as one CLI.
 
-Subcommands:
-  monologue     single-speaker slices >= min duration per channel
-                (process_fisher_data.py behavior)
-  conversation  2-speaker dialogue segments: utterances from both channels are
-                merged in time order; `[spkchange]` is inserted at speaker
-                turns; overlapping utterances extend the segment; segments
-                longer than 40 s are dropped; writes mixed `<id>_<n>.wav`,
-                per-channel `<id>_<n>_1.wav` / `_2.wav` (speaker-1 = first
-                talker), and the `[spkchange]` transcript `.txt`
-                (process_fisher_data_conversation_overlap_text2semantic.py:
-                227-375 behavior)
+Modes (matching the reference scripts' behavior bit-for-bit on the same flags):
+  monologue     process_fisher_data.py: single-speaker slices per channel —
+                utterances accumulate per channel and flush once the summed
+                duration reaches --min_slice_duration; the audio written is the
+                CONCATENATION of the utterance intervals (gaps dropped); every
+                file partitions to train/ (TRAIN_END==VAL_END==NUM_FILES,
+                process_fisher_data.py:72-73); manifest_{part}.json JSONL rows
+                {audio_filepath, duration, text} (:140-151)
+  conversation  process_fisher_data_conversation.py: same accumulation but the
+                audio keeps BOTH channels (stereo slices, :273) and files split
+                80/10/10 across train/val/test (:72-73); [laughter] is kept
+                even under --remove_noises (TAG_MAP has no [laughter], :106)
+  dialogue      process_fisher_data_conversation_overlap_text2semantic.py:
+                2-speaker dialogue segments — utterances buffer until a new
+                utterance no longer overlaps the buffered span AND both
+                speakers spoke; writes the stereo span `<id>_<n>.wav`,
+                per-speaker `_1.wav`/`_2.wav` ordered by first talker
+                (:120-154), and the `[spkchange]`-separated transcript `.txt`
+                (:227-236); buffers spanning > 40 s are dropped (:314-343)
 
-Transcript format: LDC Fisher `fe_03_*.txt` lines `t_start t_end A:|B: text`;
-comment lines start with '#'; '((' marks low-confidence. Text normalization
-follows the reference: lowercase, strip `()*;:"!&{},.-?`, keep `[laughter]`
-style tags (mapped below), expand a small number table, unquote words."""
+Transcript lines: `t_start t_end A:|B: text`; '#' comments; '((' marks low
+confidence. Text normalization (lowercase, strip `()*;:"!&{},.-?`, tag/number
+tables, Mozilla bug fixes) follows process_fisher_data.py:78-170 exactly —
+these tables are the behavioral contract for tokenizer compatibility."""
 
 from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
 import re
 from math import ceil, floor
@@ -29,59 +38,164 @@ from math import ceil, floor
 import numpy as np
 from scipy.io import wavfile
 
-# tags kept (the CoVoMix tokenizer knows [laughter]); the rest removed
-TAG_KEEP = {"[laughter]": "[laughter]", "[laugh]": "[laughter]"}
-TAG_DROP = ["[noise]", "[sigh]", "[cough]", "[mn]", "[breath]", "[lipsmack]", "[[skip]]", "[pause]", "[sneeze]",
-            "[vocalized-noise]"]
-NUMBER_TABLE = {
-    "401k": "four o one k", "f16": "f sixteen", "m16": "m sixteen", "ak47": "a k forty seven",
-    "v8": "v eight", "y2k": "y two k", "mp3": "m p three", "vh1": "v h one",
-    "90210": "nine o two one o", "espn2": "e s p n two", "u2": "u two", "3d": "three d",
+# Known transcription errors and their fixes (process_fisher_data.py:78-88)
+TRANSCRIPT_BUGS = {
+    "fe_03_00265-B-3353-3381": "correct",
+    "fe_03_00991-B-52739-52829": "that's one of those",
+    "fe_03_10282-A-34442-34484.wav": "they don't want",
+    "fe_03_10677-B-10104-10641": "uh my mine yeah the german shepherd "
+    "pitbull mix he snores almost as loud "
+    "as i do",
+    "fe_03_00027-B-39380-39405": None,
+    "fe_03_11487-B-3109-23406": None,
+    "fe_03_01326-A-30742-30793": None,
 }
+
+# (process_fisher_data.py:90-105)
+NUMBER_TABLE = {
+    "401k": "four o one k", "f16": "f sixteen", "m16": "m sixteen",
+    "ak47": "a k forty seven", "v8": "v eight", "y2k": "y two k",
+    "mp3": "m p three", "vh1": "v h one", "90210": "nine o two one o",
+    "espn2": "e s p n two", "u2": "u two", "dc3s": "d c threes",
+    "book 2": "book two", "s2b": "s two b", "3d": "three d",
+}
+
+# noise-tag handling (process_fisher_data.py:107-119). The conversation /
+# dialogue variants OMIT [laughter] so it survives --remove_noises — it is a
+# CoVoMix tokenizer token (process_fisher_data_conversation.py:106)
+TAG_MAP_MONO = {
+    "[laughter]": "\U0001f923", "[laugh]": "\U0001f923", "[noise]": "\U0001f615",
+    "[sigh]": "\U0001f615", "[cough]": "\U0001f615", "[mn]": "\U0001f615",
+    "[breath]": "\U0001f615", "[lipsmack]": "\U0001f615", "[[skip]]": "",
+    "[pause]": "", "[sneeze]": "\U0001f615",
+}
+TAG_MAP_CONV = {k: v for k, v in TAG_MAP_MONO.items() if k != "[laughter]"}
+
+# Fisher corpus size; drives the train/val/test split boundaries
+NUM_FILES_DEFAULT = 5850 + 5849
 
 
 def normalize_text(utt: str) -> str:
+    """__normalize (process_fisher_data.py:154-170), bit-for-bit."""
     table = str.maketrans(dict.fromkeys('()*;:"!&{},.-?'))
-    utt = utt.lower()
-    utt = utt.replace("[uh]", "uh").replace("[um]", "um")
-    utt = utt.replace("<noise>", "[noise]").replace("<spoken_noise>", "[vocalized-noise]")
-    utt = utt.replace(".period", "period").replace(".dot", "dot").replace("-hyphen", "hyphen").replace("._", " ")
-    for k, v in NUMBER_TABLE.items():
-        utt = utt.replace(k, v)
-    utt = utt.translate(table)
-    utt = re.sub(r"'([a-z]+)'", r"\1", utt)
-    for k, v in TAG_KEEP.items():
-        utt = utt.replace(k, v)
-    for t in TAG_DROP:
-        utt = utt.replace(t, "")
-    return " ".join(utt.split())
+    utt = (
+        utt.lower()
+        .replace("[uh]", "uh")
+        .replace("[um]", "um")
+        .replace("<noise>", "[noise]")
+        .replace("<spoken_noise>", "[vocalized-noise]")
+        .replace(".period", "period")
+        .replace(".dot", "dot")
+        .replace("-hyphen", "hyphen")
+        .replace("._", " ")
+        .translate(table)
+    )
+    return re.sub(r"'([a-z]+)'", r"\1", utt)
 
 
-def parse_transcript(path: str, keep_low_conf: bool = False):
-    """Yields (t_start, t_end, channel 'A'|'B', text)."""
-    with open(path, encoding="utf-8", errors="replace") as f:
-        for line in f:
-            if line.startswith("#") or not line.strip() or (not keep_low_conf and "((" in line):
+def process_utterance(file_id: str, line: str, *, keep_low_conf: bool, rem_noises: bool,
+                      emojify: bool, tag_map: dict):
+    """One transcript line -> (t_start, t_end, channel_idx, text, 'A'|'B') or
+    None (process_fisher_data.py:172-222)."""
+    if line.startswith("#") or not line.strip() or (not keep_low_conf and "((" in line):
+        return None
+    parts = line.split()
+    if len(parts) < 3:
+        return None
+    try:
+        t_start, t_end = float(parts[0]), float(parts[1])
+    except ValueError:
+        return None
+    if t_start < 0 or t_end < t_start:
+        return None
+    channel = parts[2]
+    if channel not in ("A:", "B:"):
+        return None
+    idx = 0 if channel == "A:" else 1
+    line_id = "-".join([file_id, channel[0], str(t_start * 10), str(t_end * 10)])
+    content = TRANSCRIPT_BUGS.get(line_id, " ".join(parts[3:]))
+    if content is None:
+        return None
+    for tag, newtag in NUMBER_TABLE.items():
+        content = content.replace(tag, newtag)
+    content = normalize_text(content)
+    if rem_noises:
+        for k in tag_map:
+            content = content.replace(k, "")
+    elif emojify:
+        for k, v in tag_map.items():
+            content = content.replace(k, v)
+    if not content.strip():
+        return None
+    return t_start, t_end, idx, content, channel[0]
+
+
+class Partitioner:
+    """train/val/test by file index (process_fisher_data*.py:72-73,
+    __partition_name :300-306). Monologue: everything 'train'."""
+
+    def __init__(self, num_files: int, split: bool):
+        self.train_end = int(num_files * 0.8) if split else num_files
+        self.val_end = int(num_files * 0.9) if split else num_files
+
+    def __call__(self, file_count: int) -> str:
+        if file_count >= self.val_end:
+            return "test"
+        if file_count >= self.train_end:
+            return "val"
+        return "train"
+
+
+def _append_manifest(dest: str, partition: str, audio_path: str, duration: float, text: str):
+    with open(os.path.join(dest, f"manifest_{partition}.json"), "a") as f:
+        json.dump({"audio_filepath": audio_path, "duration": duration, "text": text}, f)
+        f.write("\n")
+
+
+def process_slices_file(trans_path: str, sr: int, audio: np.ndarray, file_id: str, dest: str,
+                        *, min_slice_duration: float, file_count: int, partition: Partitioner,
+                        keep_low_conf: bool, rem_noises: bool, emojify: bool,
+                        stereo: bool) -> int:
+    """monologue/conversation accumulation (process_fisher_data.py:225-299):
+    per-channel buffers flush at >= min_slice_duration; audio written is the
+    concatenation of the utterance intervals. `stereo` keeps both channels
+    (conversation variant :273)."""
+    tag_map = TAG_MAP_CONV if stereo else TAG_MAP_MONO
+    count = 0
+    texts = ["", ""]
+    clips: list[list] = [[], []]
+    durs = [0.0, 0.0]
+    part = partition(file_count)
+    os.makedirs(os.path.join(dest, part), exist_ok=True)
+    with open(trans_path, encoding="utf-8", errors="replace") as fin:
+        fin.readline()  # sph filename comment
+        fin.readline()  # transcriber comment
+        for line in fin:
+            u = process_utterance(file_id, line, keep_low_conf=keep_low_conf,
+                                  rem_noises=rem_noises, emojify=emojify, tag_map=tag_map)
+            if u is None:
                 continue
-            parts = line.split()
-            if len(parts) < 4 or parts[2] not in ("A:", "B:"):
+            t0, t1, idx, content, _ = u
+            texts[idx] += content
+            sl = audio[floor(t0 * sr): ceil(t1 * sr)]
+            clips[idx].append(sl if stereo else sl[:, idx])
+            durs[idx] += t1 - t0
+            if durs[idx] < min_slice_duration:
+                texts[idx] += " "
                 continue
-            try:
-                t0, t1 = float(parts[0]), float(parts[1])
-            except ValueError:
-                continue
-            if t0 < 0 or t1 < t0:
-                continue
-            text = normalize_text(" ".join(parts[3:]))
-            if text:
-                yield t0, t1, parts[2][0], text
+            count += 1
+            path = os.path.join(dest, part, f"{file_id}_{count:03}.wav")
+            wavfile.write(path, sr, np.concatenate(clips[idx], axis=0))
+            _append_manifest(dest, part, path, durs[idx], texts[idx])
+            texts[idx], clips[idx], durs[idx] = "", [], 0.0
+    # trailing scraps below min duration are dropped (reference note :296-298)
+    return count
 
 
 def merge_turns(utts, sep_token: str = "[spkchange]") -> str:
-    """Time-ordered utterances -> transcript with [spkchange] at turn changes."""
-    utts = sorted(utts, key=lambda u: u[0])
+    """create_overlap_content (overlap_text2semantic.py:227-236)."""
     out, last = [], None
-    for t0, t1, spk, text in utts:
+    for _, _, spk, text in utts:
         if last is not None and spk != last:
             out.append(sep_token)
         out.append(text)
@@ -89,113 +203,132 @@ def merge_turns(utts, sep_token: str = "[spkchange]") -> str:
     return " ".join(out)
 
 
-def _write_segment(dest: str, file_id: str, count: int, sr: int, audio: np.ndarray, text: str, first_spk: str):
-    os.makedirs(dest, exist_ok=True)
-    base = os.path.join(dest, f"{file_id}_{count:03}")
-    mixed = audio.mean(axis=1).astype(audio.dtype) if audio.ndim == 2 else audio
-    wavfile.write(base + ".wav", sr, mixed)
-    if audio.ndim == 2:
+def process_dialogue_file(trans_path: str, sr: int, audio: np.ndarray, file_id: str, dest: str,
+                          *, max_duration: float, file_count: int, partition: Partitioner,
+                          keep_low_conf: bool, rem_noises: bool, emojify: bool) -> int:
+    """overlap_text2semantic segmentation (:239-375): buffer utterances per
+    channel; when a new utterance no longer overlaps the buffered span and both
+    channels spoke, write the stereo span + per-speaker channels + transcript;
+    drop buffers spanning > max_duration."""
+    count = 0
+    buf_a: list = []
+    buf_b: list = []
+    part = partition(file_count)
+    os.makedirs(os.path.join(dest, part), exist_ok=True)
+
+    def write_segment(combined):
+        nonlocal count
+        t0 = combined[0][0]
+        first_spk = combined[0][2]
+        t1 = max(u[1] for u in combined)
+        text = merge_turns(combined)
+        clip = audio[floor(t0 * sr): ceil(t1 * sr), :]
+        count += 1
+        base = os.path.join(dest, part, f"{file_id}_{count:03}")
+        wavfile.write(base + ".wav", sr, clip)
         a, b = (0, 1) if first_spk == "A" else (1, 0)
-        wavfile.write(base + "_1.wav", sr, audio[:, a])
-        wavfile.write(base + "_2.wav", sr, audio[:, b])
-    with open(base + ".txt", "w") as f:
-        f.write(text)
+        wavfile.write(base + "_1.wav", sr, clip[:, a])
+        wavfile.write(base + "_2.wav", sr, clip[:, b])
+        with open(base + ".txt", "w") as f:
+            f.write(text)
 
-
-def process_conversation_file(trans_path: str, audio_path: str, dest: str, *, max_duration: float = 40.0,
-                              keep_low_conf: bool = False) -> int:
-    """Segment one Fisher conversation into dialogue training examples."""
-    file_id = os.path.basename(trans_path).rsplit(".", 1)[0]
-    sr, audio = wavfile.read(audio_path)
-    if audio.ndim == 1:
-        audio = audio[:, None].repeat(2, axis=1)
-    count = 0
-    buffer = []
-    for t0, t1, spk, text in parse_transcript(trans_path, keep_low_conf):
-        if not buffer:
-            buffer.append((t0, t1, spk, text))
-            continue
-        seg_start = min(u[0] for u in buffer)
-        seg_end = max(u[1] for u in buffer)
-        both_speakers = len({u[2] for u in buffer}) == 2
-        # reference flush rule (process_fisher_data_conversation_overlap_
-        # text2semantic.py:289-345): write only once BOTH channels have spoken
-        # and the next utterance does not overlap the buffered span; overlong
-        # (>40 s) buffers are dropped, not written
-        if t0 < seg_end or not both_speakers:
-            buffer.append((t0, t1, spk, text))  # overlap / single-speaker: keep accumulating
-            continue
-        if seg_end - seg_start <= max_duration:
-            transcript = merge_turns(buffer)
-            first_spk = sorted(buffer, key=lambda u: u[0])[0][2]
-            clip = audio[floor(seg_start * sr): ceil(seg_end * sr)]
-            if len(clip) > 0 and transcript:
-                count += 1
-                _write_segment(dest, file_id, count, sr, clip, transcript, first_spk)
-        buffer = [(t0, t1, spk, text)]
+    with open(trans_path, encoding="utf-8", errors="replace") as fin:
+        fin.readline()
+        fin.readline()
+        for line in fin:
+            u = process_utterance(file_id, line, keep_low_conf=keep_low_conf,
+                                  rem_noises=rem_noises, emojify=emojify, tag_map=TAG_MAP_CONV)
+            if u is None:
+                continue
+            t0, t1, _, content, ch = u
+            if buf_a and buf_b:
+                combined = sorted(buf_a + buf_b, key=lambda x: x[0])
+                span_start = combined[0][0]
+                span_end = max(x[1] for x in combined)
+                if t0 < span_end:
+                    pass  # overlaps the buffer: keep accumulating
+                else:
+                    if span_end - span_start <= max_duration:
+                        write_segment(combined)
+                    buf_a, buf_b = [], []  # >40 s buffers are dropped unwritten
+            (buf_a if ch == "A" else buf_b).append((t0, t1, ch, content))
+    # trailing buffer dropped, like the reference
     return count
 
 
-def process_monologue_file(trans_path: str, audio_path: str, dest: str, *, min_duration: float = 10.0,
-                           keep_low_conf: bool = False) -> int:
-    """Accumulate consecutive same-channel utterances into >= min_duration
-    single-speaker slices (process_fisher_data.py behavior)."""
-    file_id = os.path.basename(trans_path).rsplit(".", 1)[0]
-    sr, audio = wavfile.read(audio_path)
-    if audio.ndim == 1:
-        audio = audio[:, None].repeat(2, axis=1)
-    count = 0
-    acc = {"A": [], "B": []}
-    for t0, t1, spk, text in parse_transcript(trans_path, keep_low_conf):
-        acc[spk].append((t0, t1, text))
-        dur = sum(u[1] - u[0] for u in acc[spk])
-        if dur >= min_duration:
-            seg_start, seg_end = acc[spk][0][0], acc[spk][-1][1]
-            ch = 0 if spk == "A" else 1
-            clip = audio[floor(seg_start * sr): ceil(seg_end * sr), ch]
-            transcript = " ".join(u[2] for u in acc[spk])
-            count += 1
-            os.makedirs(dest, exist_ok=True)
-            base = os.path.join(dest, f"{file_id}_{spk}_{count:03}")
-            wavfile.write(base + ".wav", sr, clip)
-            with open(base + ".txt", "w") as f:
-                f.write(transcript)
-            acc[spk] = []
-    return count
+def find_transcripts(transcript_root: str, data_set: str | None):
+    """Reference layout <root>/<set>/fe_03_p*_tran*/data/trans/*/*.txt
+    (process_fisher_data.py:330), falling back to a recursive *.txt glob."""
+    if data_set:
+        pattern = os.path.join(transcript_root, data_set, "fe_03_p*_tran*", "data", "trans", "*", "*.txt")
+        hits = sorted(glob.glob(pattern))
+        if hits:
+            return hits
+        transcript_root = os.path.join(transcript_root, data_set)
+    return sorted(glob.glob(os.path.join(transcript_root, "**", "*.txt"), recursive=True))
+
+
+def find_audio(audio_root: str, data_set: str | None, file_id: str):
+    roots = [os.path.join(audio_root, data_set)] if data_set else [audio_root]
+    roots.append(audio_root)
+    for r in roots:
+        for cand in (os.path.join(r, "audio_wav", file_id + ".wav"),
+                     os.path.join(r, file_id + ".wav")):
+            if os.path.isfile(cand):
+                return cand
+    return None
 
 
 def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["monologue", "conversation"])
+    p = argparse.ArgumentParser(description="Fisher Data Processing (TPU repo)")
+    p.add_argument("mode", choices=["monologue", "conversation", "dialogue"])
     p.add_argument("--audio_root", required=True)
     p.add_argument("--transcript_root", required=True)
     p.add_argument("--dest_root", required=True)
+    p.add_argument("--data_sets", default="",
+                   help="comma list, e.g. LDC2004S13-Part1,LDC2005S13-Part2 (empty: flat layout)")
     p.add_argument("--min_slice_duration", type=float, default=10.0)
-    p.add_argument("--max_duration", type=float, default=40.0)
+    p.add_argument("--max_duration", type=float, default=40.0, help="dialogue: drop longer buffers")
     p.add_argument("--keep_low_conf", action="store_true")
+    p.add_argument("--remove_noises", action="store_true")
+    p.add_argument("--noises_to_emoji", action="store_true")
+    p.add_argument("--num_files", type=int, default=NUM_FILES_DEFAULT,
+                   help="expected corpus size for the 80/10/10 split boundaries")
     args = p.parse_args()
 
-    transcripts = sorted(glob.glob(os.path.join(args.transcript_root, "**", "*.txt"), recursive=True))
+    for part in ("train", "val", "test"):
+        os.makedirs(os.path.join(args.dest_root, part), exist_ok=True)
+        mpath = os.path.join(args.dest_root, f"manifest_{part}.json")
+        open(mpath, "w").close()  # wipe manifests like the reference (:371-375)
+
+    partition = Partitioner(args.num_files, split=args.mode != "monologue")
+    data_sets = [d for d in args.data_sets.split(",") if d] or [None]
+    file_count = 0
     total = 0
-    for trans in transcripts:
-        file_id = os.path.basename(trans).rsplit(".", 1)[0]
-        audio = None
-        for cand in (os.path.join(args.audio_root, file_id + ".wav"),
-                     os.path.join(args.audio_root, "audio_wav", file_id + ".wav")):
-            if os.path.isfile(cand):
-                audio = cand
-                break
-        if audio is None:
-            continue
-        if args.mode == "conversation":
-            total += process_conversation_file(trans, audio, args.dest_root,
-                                               max_duration=args.max_duration,
-                                               keep_low_conf=args.keep_low_conf)
-        else:
-            total += process_monologue_file(trans, audio, args.dest_root,
-                                            min_duration=args.min_slice_duration,
-                                            keep_low_conf=args.keep_low_conf)
-    print(f"wrote {total} segments to {args.dest_root}")
+    for data_set in data_sets:
+        for trans in find_transcripts(args.transcript_root, data_set):
+            file_id = os.path.basename(trans).rsplit(".", 1)[0]
+            audio_path = find_audio(args.audio_root, data_set, file_id)
+            if audio_path is None:
+                continue
+            sr, audio = wavfile.read(audio_path)
+            if audio.ndim == 1:
+                audio = np.stack([audio, audio], axis=1)
+            if args.mode == "dialogue":
+                total += process_dialogue_file(
+                    trans, sr, audio, file_id, args.dest_root,
+                    max_duration=args.max_duration, file_count=file_count,
+                    partition=partition, keep_low_conf=args.keep_low_conf,
+                    rem_noises=args.remove_noises, emojify=args.noises_to_emoji)
+            else:
+                total += process_slices_file(
+                    trans, sr, audio, file_id, args.dest_root,
+                    min_slice_duration=args.min_slice_duration, file_count=file_count,
+                    partition=partition, keep_low_conf=args.keep_low_conf,
+                    rem_noises=args.remove_noises, emojify=args.noises_to_emoji,
+                    stereo=args.mode == "conversation")
+            file_count += 1
+    print(f"wrote {total} segments from {file_count} files to {args.dest_root}")
 
 
 if __name__ == "__main__":

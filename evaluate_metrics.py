@@ -1,9 +1,9 @@
 """Offline metric table: generated wavs vs ground-truth wavs -> CSV.
 
 Port of hifi-gan/evaluate_metric.py:44-72 (PESQ-nb/STOI/ESTOI mean±std CSV):
-computes STOI, ESTOI, SI-SDR and MCD per pair (PESQ needs the ITU reference
-implementation, unavailable offline — MCD+STOI stand in). Pairs are matched by
-basename between --gen_dir and --ref_dir."""
+computes PESQ-nb (numpy P.862-style, covomix_tpu/util/pesq_nb.py), STOI,
+ESTOI, SI-SDR and MCD per pair. Pairs are matched by basename between
+--gen_dir and --ref_dir."""
 
 import argparse
 import csv
@@ -27,6 +27,7 @@ def main():
     from covomix_tpu.audio import MelConfig, load_wav, mel_spectrogram
     from covomix_tpu.util.metrics import estoi, mcd, si_sdr, stoi
     from covomix_tpu.util.misc import mean_std
+    from covomix_tpu.util.pesq_nb import pesq_nb
 
     mel_cfg = MelConfig(sample_rate=args.sample_rate)
     rows = []
@@ -43,6 +44,7 @@ def main():
         mr = np.asarray(mel_spectrogram(r[None], mel_cfg))[0].T
         rows.append({
             "file": name,
+            "pesq_nb": round(pesq_nb(r, g, args.sample_rate), 4),
             "si_sdr": round(si_sdr(r, g), 3),
             "stoi": round(stoi(r, g, args.sample_rate), 4),
             "estoi": round(estoi(r, g, args.sample_rate), 4),
@@ -56,7 +58,7 @@ def main():
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
         w.writerows(rows)
-        for key in ("si_sdr", "stoi", "estoi", "mcd_db"):
+        for key in ("pesq_nb", "si_sdr", "stoi", "estoi", "mcd_db"):
             m, s = mean_std(np.asarray([row[key] for row in rows], float))
             f.write(f"# {key}: {m:.4f} +- {s:.4f}\n")
             print(f"{key}: {m:.4f} +- {s:.4f}")

@@ -40,6 +40,7 @@ def main():
     from covomix_tpu.checkpoint import io as cio
     from covomix_tpu.models import vocoder as V
     from covomix_tpu.util.metrics import estoi, mcd, si_sdr, stoi
+    from covomix_tpu.util.pesq_nb import pesq_nb
 
     if args.checkpoint_file.endswith(".npz"):
         params = cio.load_params(args.checkpoint_file)
@@ -83,6 +84,7 @@ def main():
             mel_out = np.asarray(mel_spectrogram(out[None], mel_cfg))[0].T
             rows.append({
                 "file": os.path.basename(f),
+                "pesq_nb": round(pesq_nb(wav[:n], out[:n], sr), 4),
                 "si_snr": round(si_sdr(wav[:n], out[:n]), 3),
                 "stoi": round(stoi(wav[:n], out[:n], sr), 4),
                 "estoi": round(estoi(wav[:n], out[:n], sr), 4),

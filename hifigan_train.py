@@ -31,7 +31,8 @@ def main():
     p.add_argument("--stdout_interval", type=int, default=50)
     p.add_argument("--checkpoint_interval", type=int, default=1000)
     p.add_argument("--seed", type=int, default=1234)
-    p.add_argument("--dp", type=int, default=0)
+    p.add_argument("--dp", type=int, default=0, help="data-parallel chips (0 = single device)")
+    p.add_argument("--num_workers", type=int, default=2, help="prefetch threads (DataLoader num_workers equiv.)")
     p.add_argument("--bf16", action="store_true")
     args = p.parse_args()
 
@@ -41,6 +42,7 @@ def main():
 
     from covomix_tpu.audio import MelConfig, load_wav, mel_spectrogram
     from covomix_tpu.checkpoint import io as cio
+    from covomix_tpu.data.prefetch import PrefetchSampler, device_put_transfer
     from covomix_tpu.models import vocoder as V
     from covomix_tpu.train.gan import GanConfig, GanState, init_gan_state, make_gan_step, export_generator
 
@@ -66,34 +68,79 @@ def main():
     seg = h["segment_size"]
     hop = h["hop_size"]
     batch_size = h["batch_size"]
-    rng = random.Random(args.seed)
+    fine_tuning = args.input_mels_dir is not None
+    frames_per_seg = -(-seg // hop)  # ceil (meldataset.py:146)
 
-    def sample_batch():
+    def _mel_path(wav_path):
+        stem = os.path.splitext(os.path.basename(wav_path))[0]
+        return os.path.join(args.input_mels_dir, stem + ".npy")
+
+    if fine_tuning:
+        files = [f for f in files if os.path.isfile(_mel_path(f))]
+        assert files, f"no wavs with matching mels in {args.input_mels_dir}"
+        print(f"fine-tuning on {len(files)} wav/mel pairs")
+
+    def sample_batch(seed):
         """MelDataset behavior (hifi-gan/meldataset.py:85-169): random
-        segment_size crop, normalize*0.95, mel on the fly."""
-        mels, audios, mel_losses = [], [], []
+        segment_size crop; scratch mode normalizes *0.95 and the mels are
+        computed INSIDE the jitted step; fine-tuning loads the predicted input
+        mel from --input_mels_dir and crops wav/mel aligned (:142-160)."""
+        rng = random.Random(seed)
+        audios, mels = [], []
         for _ in range(batch_size):
             f = rng.choice(files)
             wav, _ = load_wav(f, sr=sr)
-            wav = wav / max(np.abs(wav).max(), 1e-9) * 0.95
-            if len(wav) >= seg:
-                start = rng.randint(0, len(wav) - seg)
-                wav = wav[start : start + seg]
+            if fine_tuning:
+                mel = np.load(_mel_path(f))  # [80, T] or [T, 80]
+                if mel.shape[0] == h["num_mels"] and mel.shape[-1] != h["num_mels"]:
+                    mel = mel.T  # -> [T, 80]
+                if len(wav) >= seg and mel.shape[0] > frames_per_seg + 1:
+                    ms = rng.randint(0, mel.shape[0] - frames_per_seg - 1)
+                    mel = mel[ms : ms + frames_per_seg]
+                    wav = wav[ms * hop : (ms + frames_per_seg) * hop]
+                else:
+                    mel = np.pad(mel, ((0, frames_per_seg - mel.shape[0]), (0, 0)),
+                                 constant_values=-15.0) if mel.shape[0] < frames_per_seg else mel[:frames_per_seg]
+                    wav = np.pad(wav, (0, max(0, frames_per_seg * hop - len(wav))))[: frames_per_seg * hop]
+                mels.append(mel.astype(np.float32))
             else:
-                wav = np.pad(wav, (0, seg - len(wav)))
+                wav = wav / max(np.abs(wav).max(), 1e-9) * 0.95
+                if len(wav) >= seg:
+                    start = rng.randint(0, len(wav) - seg)
+                    wav = wav[start : start + seg]
+                else:
+                    wav = np.pad(wav, (0, seg - len(wav)))
             audios.append(wav.astype(np.float32))
-        audio = np.stack(audios)
-        mel = np.asarray(mel_spectrogram(audio, mel_cfg)).transpose(0, 2, 1)
-        mel_loss = np.asarray(mel_spectrogram(audio, mel_loss_cfg)).transpose(0, 2, 1)
-        return {"mel": mel, "audio": audio, "mel_loss_target": mel_loss}
+        batch = {"audio": np.stack(audios)}
+        if fine_tuning:
+            batch["mel"] = np.stack(mels)
+        return batch
 
     gan_cfg = GanConfig(learning_rate=h["learning_rate"], adam_b1=h["adam_b1"], adam_b2=h["adam_b2"],
                         lr_decay=h["lr_decay"], steps_per_epoch=max(1, len(files) // batch_size),
                         segment_size=seg)
     key = jax.random.PRNGKey(args.seed)
     state = init_gan_state(key, voc_cfg, gan_cfg)
+
+    mesh = None
+    batch_sharding = None
+    if args.dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from covomix_tpu.parallel.mesh import make_mesh, replicated, shard_tree
+
+        assert batch_size % args.dp == 0, f"batch {batch_size} not divisible by dp={args.dp}"
+        mesh = make_mesh(dp=args.dp, tp=1, devices=jax.devices()[: args.dp])
+        state = shard_tree(state, replicated(mesh, state))
+        batch_sharding = NamedSharding(mesh, P("dp"))
+        print(f"dp mesh over {args.dp} devices")
+
     step_fn = make_gan_step(voc_cfg, mel_cfg, mel_loss_cfg, gan_cfg,
-                            dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+                            dtype=jnp.bfloat16 if args.bf16 else jnp.float32, mesh=mesh)
+
+    loader = PrefetchSampler(sample_batch, num_workers=max(1, args.num_workers),
+                             buffer_size=2, seed=args.seed,
+                             transfer=device_put_transfer(batch_sharding))
 
     os.makedirs(args.checkpoint_path, exist_ok=True)
     start = cio.latest_step(args.checkpoint_path) or 0
@@ -134,7 +181,7 @@ def main():
 
     t0 = time.time()
     for step_i in range(start, args.training_steps):
-        state, metrics = step_fn(state, sample_batch())
+        state, metrics = step_fn(state, next(loader))
         if (step_i + 1) % args.stdout_interval == 0:
             m = {k: round(float(v), 4) for k, v in metrics.items()}
             print(json.dumps({"step": step_i + 1, **m,

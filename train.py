@@ -137,7 +137,8 @@ def main():
         collate = lambda items: collate_t2s(items, tok)
     else:
         collate = collate_acoustic
-    loader = data_loader(dataset, args.batch_size, collate, seed=args.seed)
+    loader = data_loader(dataset, args.batch_size, collate, seed=args.seed,
+                         num_workers=args.num_workers)
 
     # ---- mesh + state
     mesh = make_mesh(dp=args.dp or None, tp=args.tp)
@@ -150,6 +151,8 @@ def main():
 
         start_step = 0
         ckpt_dir = os.path.join(run_dir, "checkpoints")
+        # save_last + top-10 on 'l2' (reference train.py:72-76)
+        ckpt_mgr = cio.TopKCheckpointer(ckpt_dir, top_k=10, mode="min")
         if args.resume:
             latest = cio.latest_step(ckpt_dir)
             if latest is not None:
@@ -179,8 +182,7 @@ def main():
                        "grad_norm": float(metrics["grad_norm"]), "steps_per_sec": round(sps, 3)}
                 print(json.dumps({"step": step_i + 1, **rec}), flush=True)
                 logger.log(step_i + 1, rec)
-            if (step_i + 1) % args.ckpt_every == 0:
-                cio.save_train_state(ckpt_dir, jax.device_get(state), step_i + 1)
+            eval_metric = None
             if args.num_eval_files and (step_i + 1) % args.eval_every == 0:
                 eval_items = [dataset[i % len(dataset)] for i in range(min(args.num_eval_files, len(dataset)))]
                 eval_batches = [collate(eval_items[i : i + args.batch_size]) for i in range(0, len(eval_items), args.batch_size)]
@@ -192,9 +194,12 @@ def main():
                     ev = E.evaluate_acoustic(ema, model_cfg, eval_batches, sub, dtype=dtype)
                 print("eval:", json.dumps({k: float(v) for k, v in ev.items()}), flush=True)
                 logger.log(step_i + 1, ev, prefix="eval_")
+                eval_metric = float(ev.get("l2", ev.get("loss", next(iter(ev.values())))))
+            if (step_i + 1) % args.ckpt_every == 0 or eval_metric is not None:
+                ckpt_mgr.save(jax.device_get(state), step_i + 1, metric=eval_metric)
         watchdog.__exit__()
 
-        cio.save_train_state(ckpt_dir, jax.device_get(state), total_steps)
+        ckpt_mgr.save(jax.device_get(state), total_steps)
         print(f"done: {total_steps} steps -> {ckpt_dir}")
 
 
