@@ -7,9 +7,14 @@ concurrent dialogues, and reports real-time factor per chip
 (wall seconds / generated audio seconds). Baseline target: RTF < 0.05
 (BASELINE.md). Models run at the released config sizes (T2S dim 512/1024
 dual-stream; acoustic dim 1024 depth 8; vocoder 500-ch) with random weights —
-RTF depends only on compute, not weight values.
+RTF depends only on compute, not weight values. The T2S decode is forced to
+run ALL DECODE_LEN steps via min_length (random weights would otherwise
+sample EOS early and flatter the RTF), and each stage is timed separately
+with a host-fetch sync between stages.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}."""
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus extra
+keys: per-stage wall seconds, decoded steps, and
+vocoder_samples_per_sec_per_chip (BASELINE metric 2)."""
 
 import json
 import os
@@ -26,11 +31,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
-
-    from covomix_tpu.models import acoustic as A, text2semantic as T, vocoder as V
+    import numpy as np
 
     dtype = jnp.bfloat16
     key = jax.random.PRNGKey(0)
+
+    from covomix_tpu.models import acoustic as A, text2semantic as T, vocoder as V
 
     # batch of concurrent dialogues and target length
     B = int(os.environ.get("BENCH_BATCH", 4))
@@ -49,7 +55,9 @@ def main():
     voc_params = jax.jit(V.init_generator, static_argnums=1)(jax.random.PRNGKey(2), voc_cfg)
 
     text_ids = jax.random.randint(key, (B, 64), 1, 30000)
-    gen_fn = jax.jit(functools.partial(T.generate, cfg=t2s_cfg, max_length=DECODE_LEN, dtype=dtype))
+    # min_length == max_length: decode runs every step (honest full-length AR cost)
+    gen_fn = jax.jit(functools.partial(T.generate, cfg=t2s_cfg, max_length=DECODE_LEN,
+                                       min_length=DECODE_LEN, dtype=dtype))
 
     total_frames = PROMPT + DECODE_LEN
     ph = jax.random.randint(key, (B, total_frames, 2), 0, 502)
@@ -57,40 +65,56 @@ def main():
     sample_fn = jax.jit(functools.partial(A.sample, cfg=ac_cfg, cond_scale=0.7, dtype=dtype))
     voc_fn = jax.jit(functools.partial(V.generator, cfg=voc_cfg, dtype=dtype))
 
-    def pipeline(k):
-        k1, k2 = jax.random.split(k)
-        gen = gen_fn(t2s_params, key=k1, source_ids=text_ids)
-        mel = sample_fn(ac_params, key=k2, phoneme_ids=ph, cond=cond)
-        wav = voc_fn(voc_params, mel=mel)
-        return gen.num_steps, wav
+    def sync(x):
+        np.asarray(x[:1].ravel()[:8])  # axon tunnel: block_until_ready doesn't block
 
-    # warmup / compile
-    steps, wav = pipeline(jax.random.PRNGKey(10))
-    jax.block_until_ready(wav)
-
-    # timed runs (note: under the axon tunnel block_until_ready does not block;
-    # a small host fetch is the reliable sync)
-    import numpy as np
+    # warmup / compile all three stages
+    gen = gen_fn(t2s_params, key=jax.random.PRNGKey(10), source_ids=text_ids)
+    sync(gen.tokens)
+    mel = sample_fn(ac_params, key=jax.random.PRNGKey(11), phoneme_ids=ph, cond=cond)
+    sync(mel)
+    wav = voc_fn(voc_params, mel=mel)
+    sync(wav)
 
     runs = int(os.environ.get("BENCH_RUNS", 3))
-    per_run = []
+    stage_walls = {"t2s": [], "flow": [], "vocoder": []}
+    num_steps = 0
     for i in range(runs):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(100 + i))
         t0 = time.time()
-        steps, wav = pipeline(jax.random.PRNGKey(100 + i))
-        np.asarray(wav[:, :8])  # sync
-        per_run.append(time.time() - t0)
-    wall = min(per_run) * runs  # steady-state: exclude sporadic tunnel stalls
-    print(f"# per-run wall: {[round(t, 3) for t in per_run]}", file=sys.stderr)
+        gen = gen_fn(t2s_params, key=k1, source_ids=text_ids)
+        num_steps = int(np.asarray(gen.num_steps))  # sync via host fetch
+        stage_walls["t2s"].append(time.time() - t0)
+        t0 = time.time()
+        mel = sample_fn(ac_params, key=k2, phoneme_ids=ph, cond=cond)
+        sync(mel)
+        stage_walls["flow"].append(time.time() - t0)
+        t0 = time.time()
+        wav = voc_fn(voc_params, mel=mel)
+        sync(wav)
+        stage_walls["vocoder"].append(time.time() - t0)
 
-    # audio seconds actually produced: vocoder output covers all frames, but the
-    # serving-relevant product is the generated region (DECODE_LEN frames/dialogue)
-    audio_s = runs * B * DECODE_LEN * 0.02
-    rtf = wall / audio_s
+    # steady-state: min over runs per stage (excludes sporadic tunnel stalls)
+    best = {k: min(v) for k, v in stage_walls.items()}
+    wall_per_run = sum(best.values())
+    print(f"# per-stage best wall: { {k: round(v, 4) for k, v in best.items()} } "
+          f"decoded_steps={num_steps}/{DECODE_LEN}", file=sys.stderr)
+
+    audio_s = B * DECODE_LEN * 0.02          # per run
+    rtf = wall_per_run / audio_s
+    voc_samples_per_sec = B * wav.shape[1] / best["vocoder"]
     print(json.dumps({
         "metric": "dialogue_rtf_per_chip",
         "value": round(rtf, 5),
         "unit": "wall_s_per_audio_s",
         "vs_baseline": round(rtf / 0.05, 3),
+        "t2s_wall_s": round(best["t2s"], 4),
+        "flow_wall_s": round(best["flow"], 4),
+        "vocoder_wall_s": round(best["vocoder"], 4),
+        "t2s_decoded_steps": num_steps,
+        "decode_len": DECODE_LEN,
+        "batch": B,
+        "vocoder_samples_per_sec_per_chip": round(voc_samples_per_sec),
     }))
 
 

@@ -56,18 +56,20 @@ def _conv1d(sd, key, suffix=".weight"):
     return p
 
 
-def _fold_wn(sd, key):
-    """Fold torch weight_norm (dim=0): w = g * v / ||v||_(dims!=0)."""
+def _fold_wn(sd, key, dim: int = 0):
+    """Fold torch weight_norm: w = g * v / ||v||_(dims != dim). HiFi-GAN uses
+    the default dim=0; fairseq's conv positional embedding uses dim=2
+    (wav2vec2.py:939 `weight_norm(pos_conv, name="weight", dim=2)`)."""
     v = _np(sd[key + ".weight_v"])
     g = _np(sd[key + ".weight_g"])
-    axes = tuple(range(1, v.ndim))
+    axes = tuple(ax for ax in range(v.ndim) if ax != dim)
     norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
     return g * v / np.maximum(norm, 1e-12)
 
 
-def _conv1d_wn(sd, key):
+def _conv1d_wn(sd, key, wn_dim: int = 0):
     if key + ".weight_v" in sd:
-        w = _fold_wn(sd, key)
+        w = _fold_wn(sd, key, dim=wn_dim)
     else:
         w = _np(sd[key + ".weight"])
     p = {"w": w.transpose(2, 1, 0)}
@@ -314,7 +316,8 @@ def convert_hubert(ckpt: dict, encoder_layers: int = 12, conv_layers: int = 7) -
                           "beta": _np(sd["feature_extractor.conv_layers.0.2.bias"])},
         "layer_norm": _ln(sd, "layer_norm"),
         "post_extract_proj": _lin(sd, "post_extract_proj"),
-        "pos_conv": _conv1d_wn(sd, "encoder.pos_conv.0"),
+        # fairseq weight-norms pos_conv along dim=2 (wav2vec2.py:939)
+        "pos_conv": _conv1d_wn(sd, "encoder.pos_conv.0", wn_dim=2),
         "encoder_layer_norm": _ln(sd, "encoder.layer_norm"),
         "layers": [],
     }

@@ -116,7 +116,7 @@ def _time_embedding(params, times, dtype):
     return jax.nn.silu(h)
 
 
-def _transformer(params, cfg: AcousticConfig, x, time_emb):
+def _transformer(params, cfg: AcousticConfig, x, time_emb, key_mask=None):
     inv_freq = L.rotary_freqs(cfg.dim_head)
     positions = jnp.arange(x.shape[1])
     half = cfg.depth // 2
@@ -133,8 +133,9 @@ def _transformer(params, cfg: AcousticConfig, x, time_emb):
         q = L.rotary_halfsplit(positions, inv_freq, q)
         k = L.rotary_halfsplit(positions, inv_freq, k)
         # dense non-causal attention: Pallas flash kernel on TPU for long
-        # sequences, XLA einsum otherwise (ops/flash_attention.py)
-        attn = L.merge_heads(attend_flash_or_xla(q, k, v))
+        # sequences, XLA einsum otherwise (ops/flash_attention.py). key_mask
+        # (bucket-padded inference) routes through the masked einsum path.
+        attn = L.merge_heads(attend_flash_or_xla(q, k, v, key_mask=key_mask))
         x = L.linear(lp["attn_out"], attn) + x
         h = L.adaptive_rmsnorm(lp["ff_norm"], x, time_emb)
         h = L.linear(lp["ff2"], jax.nn.gelu(L.linear(lp["ff1"], h), approximate=False))
@@ -142,20 +143,22 @@ def _transformer(params, cfg: AcousticConfig, x, time_emb):
     return L.rmsnorm(params["final_norm"], x)
 
 
-def forward(
+def static_embed(
     params,
     cfg: AcousticConfig,
-    x: jnp.ndarray,              # [B, T, mel_dim] noisy flow state
-    phoneme_ids: jnp.ndarray,    # [B, T] or [B, T, 2] int
-    cond: jnp.ndarray,           # [B, T, dim_in] conditioning mel (already masked by caller for training)
-    times: jnp.ndarray,          # [B] flow times
+    phoneme_ids: jnp.ndarray,
+    cond: jnp.ndarray,
     *,
-    cond_drop_mask: Optional[jnp.ndarray] = None,  # [B] bool; True -> drop cond (CFG null branch)
+    cond_drop_mask: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Vector-field prediction (acoustic.py:430-521). Pure: all randomness
-    (span mask, cond-drop coin flips) is resolved by the caller."""
-    x = x.astype(dtype)
+    """Precompute the x-independent part of the input projection.
+
+    to_embed(cat[x, ph, cond]) == x @ W_x + (ph @ W_ph + cond @ W_c + b); the
+    parenthesized term is constant across every ODE evaluation of a sample
+    call (only x_t changes), so the sampler computes it ONCE instead of 32
+    times — an exact algebraic split of acoustic.py:504-506 saving ~15% of
+    the flow stage's FLOPs at reference scale (embed_in 2288 vs mel 80)."""
     cond = cond.astype(dtype)
     if cond_drop_mask is not None:
         null_cond = params["null_cond"].astype(dtype)
@@ -167,13 +170,45 @@ def forward(
     if ph.ndim == 4:  # two streams: [B,T,2,P] -> [B,T,2P] (acoustic.py:499-500)
         b, t = ph.shape[:2]
         ph = ph.reshape(b, t, 2 * cfg.dim_phoneme_emb)
+    w = params["to_embed"]["w"].astype(dtype)
+    md = cfg.mel_dim
+    out = ph @ w[md : md + ph.shape[-1]] + cond @ w[md + ph.shape[-1]:]
+    if "b" in params["to_embed"]:
+        out = out + params["to_embed"]["b"].astype(dtype)
+    return out
 
-    embed = jnp.concatenate([x, ph, cond], axis=-1)
-    h = L.linear(params["to_embed"], embed)
-    conv = jax.nn.gelu(L.conv1d(params["conv_embed"], h, padding=cfg.conv_pos_kernel // 2, groups=cfg.dim), approximate=False)
+
+def forward(
+    params,
+    cfg: AcousticConfig,
+    x: jnp.ndarray,              # [B, T, mel_dim] noisy flow state
+    phoneme_ids: jnp.ndarray,    # [B, T] or [B, T, 2] int
+    cond: jnp.ndarray,           # [B, T, dim_in] conditioning mel (already masked by caller for training)
+    times: jnp.ndarray,          # [B] flow times
+    *,
+    cond_drop_mask: Optional[jnp.ndarray] = None,  # [B] bool; True -> drop cond (CFG null branch)
+    precomputed_embed: Optional[jnp.ndarray] = None,  # from static_embed()
+    key_mask: Optional[jnp.ndarray] = None,  # [B, T] bool; False = padded frame (attention-excluded)
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Vector-field prediction (acoustic.py:430-521). Pure: all randomness
+    (span mask, cond-drop coin flips) is resolved by the caller.
+
+    `key_mask` has no reference counterpart (the reference runs exact-length
+    inference, acoustic.py:514 passes no mask); it exists so bucket-padded TPU
+    inference attends like exact-length inference — see tests/test_bucket_skew.py."""
+    x = x.astype(dtype)
+    if precomputed_embed is None:
+        precomputed_embed = static_embed(params, cfg, phoneme_ids, cond,
+                                         cond_drop_mask=cond_drop_mask, dtype=dtype)
+    h = x @ params["to_embed"]["w"].astype(dtype)[: cfg.mel_dim] + precomputed_embed
+    # bucket padding: zero padded frames before the depthwise conv so its
+    # 15-frame halo sees the same zeros an exact-length edge would
+    conv_in = h if key_mask is None else h * key_mask[..., None].astype(dtype)
+    conv = jax.nn.gelu(L.conv1d(params["conv_embed"], conv_in, padding=cfg.conv_pos_kernel // 2, groups=cfg.dim), approximate=False)
     h = conv + h  # acoustic.py:508
     time_emb = _time_embedding(params, times, dtype)
-    h = _transformer(params, cfg, h, time_emb)
+    h = _transformer(params, cfg, h, time_emb, key_mask=key_mask)
     return L.linear(params["to_pred"], h).astype(jnp.float32)
 
 
@@ -255,6 +290,7 @@ def sample(
     *,
     cond_scale: float = 1.0,
     step_size: float = 0.0625,
+    key_mask: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Midpoint ODE integration of the learned vector field from t=0 to t=1 as a
@@ -263,7 +299,9 @@ def sample(
     forward and combines with `logits*(1+s) - s*null` (acoustic.py:414-428).
 
     Note the reference's `sample` accepts a mask but ignores it (callers trim
-    afterwards, monologue_generation.py:172); we keep that contract."""
+    afterwards, monologue_generation.py:172); we keep that contract. `key_mask`
+    [B, T] is different: it excludes bucket-padding frames from attention so
+    padded inference matches exact-length inference (tests/test_bucket_skew.py)."""
     n_steps = int(round(1.0 / step_size))
     b, t = cond.shape[0], cond.shape[1]
     y0 = jax.random.normal(key, (b, t, cfg.mel_dim), jnp.float32)
@@ -271,20 +309,27 @@ def sample(
     use_cfg = cond_scale != 1.0
 
     if use_cfg:
+        ph2 = jnp.concatenate([phoneme_ids, phoneme_ids], axis=0)
+        c2 = jnp.concatenate([cond, cond], axis=0)
+        drop = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)], axis=0)
+        emb2 = static_embed(params, cfg, ph2, c2, cond_drop_mask=drop, dtype=dtype)
+        km2 = None if key_mask is None else jnp.concatenate([key_mask, key_mask], axis=0)
+
         def field(y, times_scalar):
             y2 = jnp.concatenate([y, y], axis=0)
-            ph2 = jnp.concatenate([phoneme_ids, phoneme_ids], axis=0)
-            c2 = jnp.concatenate([cond, cond], axis=0)
-            drop = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)], axis=0)
             times = jnp.full((2 * b,), times_scalar)
-            out = forward(params, cfg, y2, ph2, c2, times, cond_drop_mask=drop, dtype=dtype)
+            out = forward(params, cfg, y2, ph2, c2, times, cond_drop_mask=drop,
+                          precomputed_embed=emb2, key_mask=km2, dtype=dtype)
             logits, null_logits = out[:b], out[b:]
             return logits * (1 + cond_scale) - cond_scale * null_logits
     else:
+        emb1 = static_embed(params, cfg, phoneme_ids, cond,
+                            cond_drop_mask=jnp.zeros((b,), bool), dtype=dtype)
+
         def field(y, times_scalar):
             times = jnp.full((b,), times_scalar)
-            drop = jnp.zeros((b,), bool)
-            return forward(params, cfg, y, phoneme_ids, cond, times, cond_drop_mask=drop, dtype=dtype)
+            return forward(params, cfg, y, phoneme_ids, cond, times,
+                           precomputed_embed=emb1, key_mask=key_mask, dtype=dtype)
 
     h = 1.0 / n_steps
 
@@ -352,18 +397,22 @@ def sample_adaptive(
         ph2 = jnp.concatenate([phoneme_ids, phoneme_ids], axis=0)
         c2 = jnp.concatenate([cond, cond], axis=0)
         drop = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)], axis=0)
+        emb2 = static_embed(params, cfg, ph2, c2, cond_drop_mask=drop, dtype=dtype)
 
         def field(y, tt):
             y2 = jnp.concatenate([y, y], axis=0)
             times = jnp.full((2 * b,), tt)
-            out = forward(params, cfg, y2, ph2, c2, times, cond_drop_mask=drop, dtype=dtype)
+            out = forward(params, cfg, y2, ph2, c2, times, cond_drop_mask=drop,
+                          precomputed_embed=emb2, dtype=dtype)
             return out[:b] * (1 + cond_scale) - cond_scale * out[b:]
     else:
         zdrop = jnp.zeros((b,), bool)
+        emb1 = static_embed(params, cfg, phoneme_ids, cond, cond_drop_mask=zdrop, dtype=dtype)
 
         def field(y, tt):
             times = jnp.full((b,), tt)
-            return forward(params, cfg, y, phoneme_ids, cond, times, cond_drop_mask=zdrop, dtype=dtype)
+            return forward(params, cfg, y, phoneme_ids, cond, times,
+                           precomputed_embed=emb1, dtype=dtype)
 
     n_stages = 7
 

@@ -356,6 +356,7 @@ def generate(
     temperature: float = 1.0,
     top_k_thres: float = 0.1,
     cond_scale: float = 1.0,
+    min_length: int = 0,
     source_emb: Optional[jnp.ndarray] = None,
     source_mask: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
@@ -366,7 +367,11 @@ def generate(
     logits of the last position -> top-k filter (k=ceil(0.1*vocab)) -> Gumbel
     sample; stop when every row has emitted EOS (two_output: when either stream
     has); after stopping, positions after EOS become pad via mask_after_eos.
-    The pad fill value is semantic_pad_id (-1), which the pipeline strips."""
+    The pad fill value is semantic_pad_id (-1), which the pipeline strips.
+
+    `min_length` masks the EOS logit for the first min_length steps (serving
+    min-duration control; also makes benchmarks decode full-length honestly —
+    the reference has no equivalent, its decode always may stop early)."""
     b = (source_ids if source_emb is None else source_emb).shape[0]
     heads, depth, dh = cfg.heads, cfg.target_depth, cfg.dim_head
     eos = cfg.semantic_eos_id
@@ -467,6 +472,10 @@ def generate(
             lg1 = n1 + (c1 - n1) * cond_scale
             c2, n2 = lg2[:b], lg2[b:]
             lg2 = n2 + (c2 - n2) * cond_scale
+        if min_length > 0:
+            eos_mask = (jnp.arange(lg1.shape[-1]) == eos) & (i < min_length)
+            lg1 = jnp.where(eos_mask[None, :], S.NEG_INF, lg1)
+            lg2 = jnp.where(eos_mask[None, :], S.NEG_INF, lg2)
         s1 = S.gumbel_sample(k1, S.top_k_filter(lg1, thres=top_k_thres), temperature).astype(jnp.int32)
         tokens1 = jax.lax.dynamic_update_slice(tokens1, s1[:, None], (0, i))
         done1 = done1 | (s1 == eos)

@@ -7,10 +7,16 @@ softmax(QK^T)V blockwise in VMEM with the standard online-softmax recurrence:
 running max m, running denominator l, rescaled accumulator acc — one pass over
 K/V blocks per Q block, no [T,T] intermediate.
 
-Non-causal, no mask (the acoustic transformer attends densely and handles
-padding by construction — acoustic.py:514 passes no mask). Falls back to the
-XLA einsum path off-TPU or for shapes that don't tile (covomix_tpu.models.
-layers.attend)."""
+MXU discipline (measured on v5e through this tunnel): the dots run in the
+INPUT dtype (bf16 on the serving path) with f32 accumulation — upcasting
+q/k/v to f32 first quarters the MXU rate; and each kernel instance batches
+`head_block` heads per dot_general so the 64-wide head-dim contraction
+pipelines better (dh=64 is half the 128-lane MXU; batching heads recovers
+issue-level parallelism: 11.9 -> 16.8 TFLOP/s at the VoMix serving shape).
+
+Non-causal; padding tails are masked inside the kernel via the static
+valid_len. Falls back to the XLA einsum path off-TPU, for masked/causal
+attention, or for shapes that don't tile (covomix_tpu.models.layers.attend)."""
 
 from __future__ import annotations
 
@@ -21,58 +27,61 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+DEFAULT_HEAD_BLOCK = 2
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scale: float,
                   valid_len: int):
-    # blocks carry a leading singleton (batch*head) dim:
-    # q_ref [1, block_q, dh]; k_ref/v_ref [1, kv_len, dh]; o_ref [1, block_q, dh]
-    # valid_len (static): keys >= valid_len are padding and masked out.
-    _, block_q, dh = q_ref.shape
-    q = q_ref[0, :, :].astype(jnp.float32) * scale
+    # q_ref [1, hb, block_q, dh]; k_ref/v_ref [1, hb, kv_len, dh];
+    # o_ref [1, hb, block_q, dh]. valid_len (static): keys >= valid_len are
+    # padding and masked out.
+    _, hb, block_q, dh = q_ref.shape
+    q = q_ref[0]
 
     num_kb = kv_len // block_k
     full_kb = valid_len // block_k  # blocks with no padding
 
-    def block_scores(kb, masked):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
-        if masked:
-            cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            s = jnp.where(cols < valid_len, s, -jnp.inf)
-        return s
-
     def step(kb, carry, masked):
         acc, m, l = carry
-        s = block_scores(kb, masked)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, :, pl.ds(kb * block_k, block_k), :]
+        # batched-over-heads [hb, bq, dh] x [hb, bk, dh]^T -> [hb, bq, bk] f32
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        if masked:
+            cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (hb, block_q, block_k), 2)
+            s = jnp.where(cols < valid_len, s, -jnp.inf)
+        v = v_ref[0, :, pl.ds(kb * block_k, block_k), :]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
-    acc0 = jnp.zeros((block_q, dh), jnp.float32)
-    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((hb, block_q, dh), jnp.float32)
+    m0 = jnp.full((hb, block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((hb, block_q, 1), jnp.float32)
     carry = jax.lax.fori_loop(0, full_kb, lambda kb, c: step(kb, c, False), (acc0, m0, l0))
-    # tail blocks containing padded columns (at most (kv_len-valid_len)//block_k + 1)
+    # tail blocks containing padded columns
     carry = jax.lax.fori_loop(full_kb, num_kb, lambda kb, c: step(kb, c, True), carry)
     acc, m, l = carry
-    o_ref[0, :, :] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     *, block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+                    head_block: int = DEFAULT_HEAD_BLOCK,
                     interpret: bool = False) -> jnp.ndarray:
     """q/k/v: [B, H, T, dh] -> [B, H, T, dh]. Arbitrary T: inputs are padded to
     a block multiple and padded key columns are masked inside the kernel."""
     b, h, t, dh = q.shape
     block_q = min(block_q, _round_up(t, 128))
     block_k = min(block_k, _round_up(t, 128))
+    while h % head_block:
+        head_block -= 1
     tp = _round_up(t, max(block_q, block_k))
     if tp != t:
         pad = [(0, 0), (0, 0), (0, tp - t), (0, 0)]
@@ -82,22 +91,19 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale = dh ** -0.5
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=tp, scale=scale, valid_len=t)
-    grid = (b * h, tp // block_q)
-    qf = q.reshape(b * h, tp, dh)
-    kf = k.reshape(b * h, tp, dh)
-    vf = v.reshape(b * h, tp, dh)
+    grid = (b, h // head_block, tp // block_q)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, tp, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, dh), q.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, dh), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp, dh), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp, dh), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, head_block, block_q, dh), lambda bb, hh, i: (bb, hh, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, dh), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, head_block, block_q, dh), lambda bb, hh, i: (bb, hh, i, 0), memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * tp * tp * dh,
@@ -105,8 +111,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             transcendentals=b * h * tp * tp,
         ),
         interpret=interpret,
-    )(qf, kf, vf)
-    out = out.reshape(b, h, tp, dh)
+    )(q, k, v)
     return out[:, :, :t] if tp != t else out
 
 

@@ -78,6 +78,12 @@ class Synthesizer:
     # ---- prompt preparation ------------------------------------------------
 
     def extract_mel(self, wav_path: str, channel: Optional[int] = None) -> np.ndarray:
+        """Mel of a wav, with the reference's sibling `.mel.npy` cache
+        (online_feature_extraction.py:71-87: load cache if present, else
+        compute; cache files store [80, T])."""
+        cache = wav_path.replace(".wav", ".mel.npy")
+        if os.path.exists(cache):
+            return np.load(cache).T  # [T, 80]
         wav, _ = load_wav(wav_path, sr=self.mel_cfg.sample_rate, channel=channel)
         mel = np.asarray(mel_spectrogram(wav[None], self.mel_cfg))[0]  # [80, T]
         return mel.T  # [T, 80]
@@ -113,7 +119,12 @@ class Synthesizer:
         return t1[:n], t2[:n]
 
     def flow_sample(self, phoneme_ids: np.ndarray, cond: np.ndarray, key) -> np.ndarray:
-        """Bucket-padded flow-matching sample; returns [T, 80] trimmed."""
+        """Bucket-padded flow-matching sample; returns [T, 80] trimmed.
+
+        Pad frames are excluded from attention via key_mask so the bucketed
+        output matches exact-length inference (the reference always runs exact
+        lengths; without the mask pad frames leak into dense attention —
+        quantified in tests/test_bucket_skew.py)."""
         t = len(phoneme_ids)
         tb = max(self.bucket, _round_up(t, self.bucket))
         if phoneme_ids.ndim == 1:
@@ -123,7 +134,9 @@ class Synthesizer:
         ph[:t] = phoneme_ids
         c = np.zeros((tb, cond.shape[1]), np.float32)
         c[:t] = cond
-        mel = self._sample_fn(self.acoustic_params, key=key, phoneme_ids=jnp.asarray(ph[None]), cond=jnp.asarray(c[None]))
+        key_mask = jnp.asarray((np.arange(tb) < t)[None, :])
+        mel = self._sample_fn(self.acoustic_params, key=key, phoneme_ids=jnp.asarray(ph[None]),
+                              cond=jnp.asarray(c[None]), key_mask=key_mask)
         return np.asarray(mel[0, :t])
 
     def vocode(self, mel: np.ndarray) -> np.ndarray:

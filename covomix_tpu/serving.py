@@ -92,4 +92,4 @@ class BatchedPipeline:
         # vocode only the generated region (prompt frames are conditioning)
         gen_start = pt.shape[1]
         wav = self._voc(self.vocoder_params, mel=mel[:, gen_start:])
-        return wav, (gen.tokens, gen.tokens2)
+        return wav, gen

@@ -1,18 +1,24 @@
 """Training-time sampling evals, mirroring covomix/util/inference.py.
 
-  * acoustic: synthesize a 70%-masked continuation of held-out utterances and
-    report MSE vs ground-truth mel as 'l2' (inference.py:32-75; VoMix variants
-    :79-135, :151-227)
-  * T2S: decode held-out texts and report WER between predicted and GT token-id
-    strings (inference.py:287-358) — computed with the native C++ levenshtein
-    when built, else a numpy fallback.
+  * acoustic (VoSingle): generate the FIRST 70% of each held-out utterance
+    conditioned on the trailing 30% and report MSE over the generated region
+    as 'l2' (inference.py:32-75: acoustic_mask True on the first 70%,
+    mel_input keeps frames after 70%, cond_scale 0.7)
+  * VoMix variants: two_two pairs a random other utterance's A-stream
+    (inference.py:79-135); two_one uses the A/B/mixed triplet and scores the
+    second half against the MIXED mel (inference.py:151-227); both use a 50%
+    split with the first half as prompt
+  * T2S: decode held-out texts and report WER between predicted and GT
+    token-id strings after padding both to equal length with 501
+    (inference.py:287-358, jiwer on id strings) — computed with the native
+    C++ levenshtein when built, else a numpy fallback.
 
 Checkpoint selection in the reference keeps top-10 on this 'l2' (train.py:72-76)."""
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterable
+from typing import Dict, Iterable, List
 
 import jax
 import jax.numpy as jnp
@@ -31,9 +37,18 @@ def token_wer(ref: Iterable[int], hyp: Iterable[int]) -> float:
     return levenshtein(ref, hyp) / len(ref)
 
 
-def evaluate_acoustic(params, cfg, eval_batches, key, *, mask_frac: float = 0.7, cond_scale: float = 1.0, dtype=jnp.float32) -> Dict[str, float]:
-    """For each eval batch: mask the trailing `mask_frac` of the sequence, zero
-    cond there, sample, report masked-region MSE (inference.py:32-75)."""
+def _uniform_indices(n_total: int, n_eval: int) -> List[int]:
+    """torch.linspace(0, N-1, num_eval_files).int() (inference.py:39-40)."""
+    if n_total <= 0:
+        return []
+    return [int(x) for x in np.linspace(0, n_total - 1, min(n_eval, max(n_total, 1)))]
+
+
+def evaluate_acoustic(params, cfg, eval_batches, key, *, mask_frac: float = 0.7,
+                      cond_scale: float = 0.7, dtype=jnp.float32) -> Dict[str, float]:
+    """Batched eval with the reference orientation (inference.py:49-70): the
+    mask covers the FIRST mask_frac of the sequence (region generated+scored);
+    cond keeps only the trailing context."""
     from covomix_tpu.models import acoustic as A
 
     sample = jax.jit(functools.partial(A.sample, cfg=cfg, cond_scale=cond_scale, dtype=dtype))
@@ -45,19 +60,119 @@ def evaluate_acoustic(params, cfg, eval_batches, key, *, mask_frac: float = 0.7,
         else:
             target, cond = x, x.copy()
         t = x.shape[1]
-        split = int(t * (1 - mask_frac))
-        cond[:, split:] = 0.0
+        split = int(t * mask_frac)
+        cond[:, :split] = 0.0   # prompt = trailing (1-mask_frac) context
         key, sub = jax.random.split(key)
         pred = np.asarray(sample(params, key=sub, phoneme_ids=jnp.asarray(batch["phonemes"]), cond=jnp.asarray(cond)))
-        l2s.append(float(np.mean((pred[:, split:] - target[:, split:]) ** 2)))
+        l2s.append(float(np.mean((pred[:, :split] - target[:, :split]) ** 2)))
     return {"l2": float(np.mean(l2s)) if l2s else float("nan")}
 
 
-def evaluate_t2s(params, cfg, eval_batches, key, *, max_length: int = 512, dtype=jnp.float32) -> Dict[str, float]:
-    """Decode and score token WER + exact-prefix accuracy (inference.py:287-358)."""
+def _pad_bucket(arr, bucket, pad_value):
+    t = arr.shape[0]
+    n = ((t + bucket - 1) // bucket) * bucket
+    if arr.ndim == 1:
+        return np.pad(arr, (0, n - t), constant_values=pad_value)
+    return np.pad(arr, ((0, n - t),) + ((0, 0),) * (arr.ndim - 1), constant_values=pad_value)
+
+
+def evaluate_acoustic_files(params, cfg, mel_files: List[str], num_eval_files: int, key, *,
+                            cond_scale: float = 0.7, bucket: int = 128, dtype=jnp.float32) -> Dict[str, float]:
+    """File-level VoSingle eval (inference.py:32-75): uniform index selection
+    over the validation mel list, exact-length mel/code pairing, first-70%
+    generation conditioned on the tail, per-file masked MSE. Lengths are
+    bucket-padded (pad mel -15 / code 501) so jit executables are reused."""
+    from covomix_tpu.data.oracle import _load_pair
+    from covomix_tpu.models import acoustic as A
+
+    sample = jax.jit(functools.partial(A.sample, cfg=cfg, cond_scale=cond_scale, dtype=dtype),
+                     static_argnames=())
+    l2s = []
+    for i in _uniform_indices(len(mel_files), num_eval_files):
+        mel, codes = _load_pair(mel_files[i])
+        t = len(codes)
+        split = int(t * 0.7)
+        cond = mel.copy()
+        cond[:split] = 0.0
+        mel_p = _pad_bucket(mel, bucket, -15.0)
+        cond_p = _pad_bucket(cond, bucket, 0.0)
+        codes_p = _pad_bucket(codes, bucket, 501)
+        key, sub = jax.random.split(key)
+        pred = np.asarray(sample(params, key=sub, phoneme_ids=jnp.asarray(codes_p)[None],
+                                 cond=jnp.asarray(cond_p)[None]))[0]
+        l2s.append(float(np.mean((pred[:split] - mel[:split]) ** 2)))
+    return {"l2": float(np.mean(l2s)) if l2s else float("nan")}
+
+
+def evaluate_acoustic_two_one_files(params, cfg, mel_files: List[str], num_eval_files: int, key, *,
+                                    cond_scale: float = 0.7, bucket: int = 128, dtype=jnp.float32) -> Dict[str, float]:
+    """File-level VoMix (2 input, 1 mixed output) eval (inference.py:151-227):
+    per file, the A/B channel mels condition the first half; the second half of
+    the predicted MIXED mel is scored against the ground-truth mixed mel."""
+    from covomix_tpu.data.oracle import load_two_stream_example
+    from covomix_tpu.models import acoustic as A
+
+    sample = jax.jit(functools.partial(A.sample, cfg=cfg, cond_scale=cond_scale, dtype=dtype))
+    l2s = []
+    for i in _uniform_indices(len(mel_files), num_eval_files):
+        path_a = mel_files[i].replace(".mel.npy", "-A.mel.npy")
+        mel2, codes2, mixed = load_two_stream_example(path_a)
+        if mixed is None:
+            continue
+        t = len(codes2)
+        split = int(t * 0.5)
+        cond = mel2.copy()
+        cond[split:] = 0.0   # first half visible (inference.py:188-192)
+        cond_p = _pad_bucket(cond, bucket, 0.0)
+        codes_p = _pad_bucket(codes2, bucket, 501)
+        key, sub = jax.random.split(key)
+        pred = np.asarray(sample(params, key=sub, phoneme_ids=jnp.asarray(codes_p)[None],
+                                 cond=jnp.asarray(cond_p)[None]))[0]
+        l2s.append(float(np.mean((pred[split:t] - mixed[split:t]) ** 2)))
+    return {"l2": float(np.mean(l2s)) if l2s else float("nan")}
+
+
+def evaluate_acoustic_two_two_files(params, cfg, mel_files: List[str], num_eval_files: int, key, *,
+                                    cond_scale: float = 0.7, bucket: int = 128, dtype=jnp.float32,
+                                    seed: int = 0) -> Dict[str, float]:
+    """File-level VoMix (2 input, 2 output) eval (inference.py:79-135): the
+    partner stream is a RANDOM other utterance's A-stream; second half scored
+    against the stacked ground truth."""
+    import random as _random
+
+    from covomix_tpu.data.oracle import load_two_stream_example
+    from covomix_tpu.models import acoustic as A
+
+    rng = _random.Random(seed)
+    sample = jax.jit(functools.partial(A.sample, cfg=cfg, cond_scale=cond_scale, dtype=dtype))
+    l2s = []
+    for i in _uniform_indices(len(mel_files), num_eval_files):
+        path_a = mel_files[i].replace(".mel.npy", "-A.mel.npy")
+        mel2, codes2, _ = load_two_stream_example(path_a, rng=rng, random_partner=mel_files)
+        t = len(codes2)
+        split = int(t * 0.5)
+        cond = mel2.copy()
+        cond[split:] = 0.0
+        cond_p = _pad_bucket(cond, bucket, 0.0)
+        codes_p = _pad_bucket(codes2, bucket, 501)
+        key, sub = jax.random.split(key)
+        pred = np.asarray(sample(params, key=sub, phoneme_ids=jnp.asarray(codes_p)[None],
+                                 cond=jnp.asarray(cond_p)[None]))[0]
+        l2s.append(float(np.mean((pred[split:t] - mel2[split:t]) ** 2)))
+    return {"l2": float(np.mean(l2s)) if l2s else float("nan")}
+
+
+def evaluate_t2s(params, cfg, eval_batches, key, *, max_length: int = 512,
+                 temperature: float = 1.0, cond_scale: float = 1.0,
+                 dtype=jnp.float32) -> Dict[str, float]:
+    """Decode and score token WER (inference.py:287-358): both sequences are
+    padded to equal length with 501 before the WER, exactly like the reference
+    (pads then count as matching 'words'). Also reports exact-prefix accuracy
+    as a secondary diagnostic (not in the reference)."""
     from covomix_tpu.models import text2semantic as T
 
-    gen = jax.jit(functools.partial(T.generate, cfg=cfg, max_length=max_length, dtype=dtype))
+    gen = jax.jit(functools.partial(T.generate, cfg=cfg, max_length=max_length,
+                                    temperature=temperature, cond_scale=cond_scale, dtype=dtype))
     wers, accs = [], []
     for batch in eval_batches:
         key, sub = jax.random.split(key)
@@ -65,12 +180,15 @@ def evaluate_t2s(params, cfg, eval_batches, key, *, max_length: int = 512, dtype
         toks = np.asarray(out.tokens)
         sem = np.asarray(batch["semantic_ids"])
         if sem.ndim == 3:
-            sem = sem[..., 0]
+            sem = sem[..., 0]   # two_output: first half == stream 1 (inference.py:323-325)
         for b in range(toks.shape[0]):
             hyp = toks[b][toks[b] != cfg.semantic_pad_id]
             ref = sem[b][sem[b] != 501]
-            wers.append(token_wer(ref, hyp))
-            n = min(len(ref), len(hyp))
-            accs.append(float(np.mean(ref[:n] == hyp[:n])) if n else 0.0)
+            n = max(len(ref), len(hyp))
+            ref_p = np.pad(ref, (0, n - len(ref)), constant_values=501)
+            hyp_p = np.pad(hyp, (0, n - len(hyp)), constant_values=501)
+            wers.append(token_wer(ref_p, hyp_p))
+            m = min(len(ref), len(hyp))
+            accs.append(float(np.mean(ref[:m] == hyp[:m])) if m else 0.0)
     return {"l2": float(np.mean(wers)) if wers else float("nan"),  # logged as 'l2' like the reference
             "accuracy": float(np.mean(accs)) if accs else float("nan")}

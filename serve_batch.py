@@ -86,13 +86,18 @@ def main():
             ids = np.pad(ids, ((0, 0), (0, args.max_text_tokens - ids.shape[1])))
         key, sub = jax.random.split(key)
         t0 = time.time()
-        wav, _ = pipe(sub, ids, tok, mel)
+        wav, gen = pipe(sub, ids, tok, mel)
         wav = np.asarray(wav)
+        lengths = np.asarray(np.minimum(gen.lengths, gen.lengths2))  # frames per row pre-EOS
         wall = time.time() - t0
         for i, path in enumerate(chunk):
             out = os.path.join(args.saved_dir, os.path.basename(path).replace(".txt", ".wav"))
-            save_wav(out, wav[i], synth.mel_cfg.sample_rate)
-        audio_s = b * args.decode_len * hop / synth.mel_cfg.sample_rate
+            # trim post-EOS fill: only the decoded region is product audio
+            n_samples = int(lengths[i]) * hop
+            save_wav(out, wav[i, : max(n_samples, hop)], synth.mel_cfg.sample_rate)
+        # honest RTF: count only pre-EOS decoded frames, not post-EOS silence
+        audio_s = float(lengths[:b].sum()) * hop / synth.mel_cfg.sample_rate
+        audio_s = max(audio_s, 1e-6)
         print(f"batch of {b}: {wall:.2f}s wall for {audio_s:.0f}s audio (RTF {wall / audio_s:.4f})")
 
 

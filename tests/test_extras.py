@@ -113,7 +113,8 @@ def test_serving_pipeline_tiny():
         jax.jit(V.init_generator, static_argnums=1)(key, voc_cfg), voc_cfg,
         decode_len=8, prompt_frames=4, dtype=jnp.float32)
     B = 2
-    wav, (t1, t2) = pipe(key, np.ones((B, 5), np.int32),
+    wav, gen = pipe(key, np.ones((B, 5), np.int32),
                          np.zeros((B, 4), np.int32), np.zeros((B, 4, 160), np.float32))
     assert wav.shape == (B, 8 * 160 + 32)
-    assert t1.shape == (B, 8)
+    assert gen.tokens.shape == (B, 8)
+    assert gen.lengths.shape == (B,)

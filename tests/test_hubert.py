@@ -159,3 +159,68 @@ def test_wav2units_chunking(mirror_and_params):
     ids_chunked = H.wav2units(params, small, wav)
     assert ids_chunked.ndim == 1 and ids_chunked.dtype == np.int64
     assert (ids_chunked >= 0).all() and (ids_chunked < CFG.num_units).all()
+
+
+def _load_fairseq_module(relpath, name):
+    """Load a standalone module FILE from the fairseq fork without importing
+    the fairseq package (whose __init__ chain needs omegaconf/hydra)."""
+    import importlib.util
+
+    path = f"/root/reference/fairseq-hubert/{relpath}"
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir("/root/reference/fairseq-hubert"),
+                    reason="fairseq fork not mounted")
+def test_pos_conv_weight_norm_dim2_fold_matches_fairseq():
+    """fairseq weight-norms pos_conv along dim=2 (wav2vec2.py:939) and trims
+    one frame via SamePad for even kernels (same_pad.py). Verify the converter
+    fold against torch's remove_weight_norm AND our conv against the real
+    SamePad from the fork."""
+    from covomix_tpu.checkpoint.torch_convert import _conv1d_wn
+
+    same_pad = _load_fairseq_module("fairseq/modules/same_pad.py", "fs_same_pad")
+    d, k, g = 16, 8, 4
+    torch.manual_seed(5)
+    conv = nn.Conv1d(d, d, k, padding=k // 2, groups=g)
+    conv = nn.utils.weight_norm(conv, name="weight", dim=2)
+    seq = nn.Sequential(conv, same_pad.SamePad(k), nn.GELU())
+    sd = {"encoder.pos_conv.0." + n: t for n, t in conv.state_dict().items()}
+    p = _conv1d_wn(sd, "encoder.pos_conv.0", wn_dim=2)
+
+    x = np.random.RandomState(6).randn(1, 20, d).astype(np.float32)
+    with torch.no_grad():
+        ref = seq(torch.from_numpy(x).transpose(1, 2)).transpose(1, 2).numpy()
+    from covomix_tpu.models import layers as L
+
+    with jax.default_matmul_precision("highest"):
+        y = L.conv1d({k_: jnp.asarray(v) for k_, v in p.items()}, jnp.asarray(x),
+                     padding=k // 2, groups=g)
+        # even kernel: drop the trailing frame like SamePad
+        mine = np.asarray(jax.nn.gelu(y[:, :-1], approximate=False))
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir("/root/reference/fairseq-hubert"),
+                    reason="fairseq fork not mounted")
+def test_groupnorm_matches_fairseq_fp32_group_norm():
+    """Conv-frontend group norm vs the fork's Fp32GroupNorm (wav2vec2.py:864)."""
+    fgn = _load_fairseq_module("fairseq/modules/fp32_group_norm.py", "fs_fp32_gn")
+    c = 32
+    torch.manual_seed(7)
+    gn = fgn.Fp32GroupNorm(c, c, affine=True)
+    with torch.no_grad():
+        gn.weight.uniform_(0.5, 1.5)
+        gn.bias.uniform_(-0.2, 0.2)
+    x = np.random.RandomState(8).randn(2, c, 25).astype(np.float32)
+    with torch.no_grad():
+        ref = gn(torch.from_numpy(x)).numpy()
+    from covomix_tpu.models import layers as L
+
+    p = {"gamma": jnp.asarray(gn.weight.detach().numpy()), "beta": jnp.asarray(gn.bias.detach().numpy())}
+    # ours takes [B, T, C]
+    mine = np.asarray(L.groupnorm(p, jnp.asarray(x.transpose(0, 2, 1)), num_groups=c)).transpose(0, 2, 1)
+    np.testing.assert_allclose(mine, ref, atol=1e-5)

@@ -25,8 +25,22 @@ def test_golden_mel_parity(name):
     assert mel.shape[0] == 80
     assert mel.shape[1] == ref.shape[1]
     diff = np.abs(mel - ref)
-    assert diff.max() < 5e-3, f"max abs err {diff.max()}"
-    assert diff.mean() < 1e-3
+    assert diff.max() < 1e-4, f"max abs err {diff.max()}"
+    assert diff.mean() < 2e-5
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference fixtures not mounted")
+@pytest.mark.parametrize("name", FIXTURES)
+def test_golden_mel_mcd_within_budget(name):
+    """MCD between our log-mel and the reference fixture mel must be far inside
+    the 0.1 dB budget (BASELINE.md) — the frontend contributes ~0 of it."""
+    from covomix_tpu.util.metrics import mcd
+
+    wav, _ = load_wav(f"{REFERENCE}/hifi-gan/hifigan_test/input_wav/{name}.wav")
+    ref = np.load(f"{REFERENCE}/hifi-gan/hifigan_test/input_mel/{name}.npy")
+    mel = np.asarray(mel_spectrogram(wav[None], CFG16))[0]
+    d = mcd(ref.T, mel.T)
+    assert d < 0.001, f"frontend MCD {d} dB"
 
 
 def test_silence_hits_log_floor():

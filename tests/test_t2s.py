@@ -122,3 +122,15 @@ def test_loss_drops_with_teacher_forcing_overfit(tiny_params):
         params, state, l = step(params, state)
         losses.append(float(l))
     assert losses[-1] < losses[0]
+
+
+def test_min_length_forces_full_decode(tiny_params):
+    """min_length == max_length masks EOS -> decode runs every step (used by
+    bench.py to measure honest full-length AR cost)."""
+    key = jax.random.PRNGKey(11)
+    src = jax.random.randint(key, (2, 6), 1, 50)
+    L = 12
+    res = T.generate(tiny_params, TINY, key, src, max_length=L, min_length=L)
+    assert int(res.num_steps) == L
+    toks = np.asarray(res.tokens)
+    assert (toks[:, : L - 1] != TINY.semantic_eos_id).all()  # EOS banned before min_length
