@@ -116,9 +116,30 @@ def _time_embedding(params, times, dtype):
     return jax.nn.silu(h)
 
 
-def _transformer(params, cfg: AcousticConfig, x, time_emb, key_mask=None):
+def layer_core(lp, cfg: AcousticConfig, x, time_emb, key_mask=None):
+    """One transformer layer (attention + FFN blocks with adaptive RMSNorm),
+    excluding the U-Net skip combiner (acoustic.py:286-310 loop body). Shared
+    by the sequential `_transformer` and the pipeline-parallel stage function
+    (parallel/pipeline.py), which handles skips dynamically."""
     inv_freq = L.rotary_freqs(cfg.dim_head)
     positions = jnp.arange(x.shape[1])
+    h = L.adaptive_rmsnorm(lp["attn_norm"], x, time_emb)
+    qkv = L.linear(lp["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (L.split_heads(t, cfg.heads) for t in (q, k, v))
+    q = L.rotary_halfsplit(positions, inv_freq, q)
+    k = L.rotary_halfsplit(positions, inv_freq, k)
+    # dense non-causal attention: Pallas flash kernel on TPU for long
+    # sequences, XLA einsum otherwise (ops/flash_attention.py). key_mask
+    # (bucket-padded inference) routes through the masked einsum path.
+    attn = L.merge_heads(attend_flash_or_xla(q, k, v, key_mask=key_mask))
+    x = L.linear(lp["attn_out"], attn) + x
+    h = L.adaptive_rmsnorm(lp["ff_norm"], x, time_emb)
+    h = L.linear(lp["ff2"], jax.nn.gelu(L.linear(lp["ff1"], h), approximate=False))
+    return h + x
+
+
+def _transformer(params, cfg: AcousticConfig, x, time_emb, key_mask=None):
     half = cfg.depth // 2
     skips = []
     for i, lp in enumerate(params["layers"]):
@@ -126,21 +147,32 @@ def _transformer(params, cfg: AcousticConfig, x, time_emb, key_mask=None):
             skips.append(x)
         else:
             x = L.linear(lp["skip"], jnp.concatenate([x, skips.pop()], axis=-1))
-        h = L.adaptive_rmsnorm(lp["attn_norm"], x, time_emb)
-        qkv = L.linear(lp["qkv"], h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (L.split_heads(t, cfg.heads) for t in (q, k, v))
-        q = L.rotary_halfsplit(positions, inv_freq, q)
-        k = L.rotary_halfsplit(positions, inv_freq, k)
-        # dense non-causal attention: Pallas flash kernel on TPU for long
-        # sequences, XLA einsum otherwise (ops/flash_attention.py). key_mask
-        # (bucket-padded inference) routes through the masked einsum path.
-        attn = L.merge_heads(attend_flash_or_xla(q, k, v, key_mask=key_mask))
-        x = L.linear(lp["attn_out"], attn) + x
-        h = L.adaptive_rmsnorm(lp["ff_norm"], x, time_emb)
-        h = L.linear(lp["ff2"], jax.nn.gelu(L.linear(lp["ff1"], h), approximate=False))
-        x = h + x
+        x = layer_core(lp, cfg, x, time_emb, key_mask=key_mask)
     return L.rmsnorm(params["final_norm"], x)
+
+
+def embed_inputs(
+    params,
+    cfg: AcousticConfig,
+    x: jnp.ndarray,
+    phoneme_ids: jnp.ndarray,
+    cond: jnp.ndarray,
+    times: jnp.ndarray,
+    *,
+    cond_drop_mask: Optional[jnp.ndarray] = None,
+    key_mask: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+):
+    """Everything in `forward` before the transformer stack: input projection,
+    depthwise-conv positional embedding, flow-time embedding (acoustic.py:
+    496-508 + :361-365). Returns (h, time_emb)."""
+    x = x.astype(dtype)
+    emb = static_embed(params, cfg, phoneme_ids, cond, cond_drop_mask=cond_drop_mask, dtype=dtype)
+    h = x @ params["to_embed"]["w"].astype(dtype)[: cfg.mel_dim] + emb
+    conv_in = h if key_mask is None else h * key_mask[..., None].astype(dtype)
+    conv = jax.nn.gelu(L.conv1d(params["conv_embed"], conv_in, padding=cfg.conv_pos_kernel // 2, groups=cfg.dim), approximate=False)
+    h = conv + h  # acoustic.py:508
+    return h, _time_embedding(params, times, dtype)
 
 
 def static_embed(
@@ -204,6 +236,7 @@ def forward(
     h = x @ params["to_embed"]["w"].astype(dtype)[: cfg.mel_dim] + precomputed_embed
     # bucket padding: zero padded frames before the depthwise conv so its
     # 15-frame halo sees the same zeros an exact-length edge would
+    # (see embed_inputs for the un-fused variant used by the PP schedule)
     conv_in = h if key_mask is None else h * key_mask[..., None].astype(dtype)
     conv = jax.nn.gelu(L.conv1d(params["conv_embed"], conv_in, padding=cfg.conv_pos_kernel // 2, groups=cfg.dim), approximate=False)
     h = conv + h  # acoustic.py:508
@@ -237,6 +270,48 @@ def training_mask(key, cfg: AcousticConfig, batch: int, seq_len: int) -> jnp.nda
     return jnp.where(jax.random.bernoulli(kc), span, bern)
 
 
+def cfm_inputs(
+    cfg: AcousticConfig,
+    key,
+    x1: jnp.ndarray,
+    cond: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    cond_drop_prob: float = 0.0,
+    sigma: float = 0.0,
+):
+    """Resolve all training-step randomness for the OT-CFM objective
+    (acoustic.py:732-791): returns (w, times, flow, mask, cond_masked,
+    cond_drop_mask). Split out of `cfm_loss` so parallel schedules (e.g. the
+    pipeline-parallel loss in parallel/pipeline.py) consume bit-identical
+    inputs for a given key."""
+    b, t, _ = x1.shape
+    k_noise, k_t, k_mask, k_drop = jax.random.split(key, 4)
+    if mask is None:
+        mask = training_mask(k_mask, cfg, b, t)
+    x0 = jax.random.normal(k_noise, x1.shape, jnp.float32)
+    times = jax.random.uniform(k_t, (b,))
+    tt = times[:, None, None]
+    w = (1 - (1 - sigma) * tt) * x0 + tt * x1
+    flow = x1 - (1 - sigma) * x0
+    # cond zeroed on the masked region during training (acoustic.py:468-469)
+    cond = cond * (~mask)[:, :, None]
+    cond_drop_mask = None
+    if cond_drop_prob > 0:
+        cond_drop_mask = jax.random.uniform(k_drop, (b,)) < cond_drop_prob
+    return w, times, flow, mask, cond, cond_drop_mask
+
+
+def masked_mse(pred: jnp.ndarray, flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-row masked-mean MSE summed over rows (acoustic.py:527-538 without
+    the final batch mean)."""
+    err = jnp.mean(jnp.square(pred - flow), axis=-1)       # 'b n d -> b n'
+    err = jnp.where(mask, err, 0.0)
+    num = jnp.sum(err, axis=-1)
+    den = jnp.clip(jnp.sum(mask, axis=-1).astype(jnp.float32), min=1e-5)
+    return jnp.sum(num / den)
+
+
 def cfm_loss(
     params,
     cfg: AcousticConfig,
@@ -253,28 +328,10 @@ def cfm_loss(
     """OT-CFM objective (acoustic.py:732-791 following Voicebox eq. 5-6):
       w = (1 - (1-sigma) t) x0 + t x1 ;  flow = x1 - (1-sigma) x0
     with masked-mean MSE over the masked region (acoustic.py:527-538)."""
-    b, t, _ = x1.shape
-    k_noise, k_t, k_mask, k_drop = jax.random.split(key, 4)
-    if mask is None:
-        mask = training_mask(k_mask, cfg, b, t)
-    x0 = jax.random.normal(k_noise, x1.shape, jnp.float32)
-    times = jax.random.uniform(k_t, (b,))
-    tt = times[:, None, None]
-    w = (1 - (1 - sigma) * tt) * x0 + tt * x1
-    flow = x1 - (1 - sigma) * x0
-
-    # cond zeroed on the masked region during training (acoustic.py:468-469)
-    cond = cond * (~mask)[:, :, None]
-    cond_drop_mask = None
-    if cond_drop_prob > 0:
-        cond_drop_mask = jax.random.uniform(k_drop, (b,)) < cond_drop_prob
-
+    w, times, flow, mask, cond, cond_drop_mask = cfm_inputs(
+        cfg, key, x1, cond, mask, cond_drop_prob=cond_drop_prob, sigma=sigma)
     pred = forward(params, cfg, w, phoneme_ids, cond, times, cond_drop_mask=cond_drop_mask, dtype=dtype)
-    err = jnp.mean(jnp.square(pred - flow), axis=-1)       # 'b n d -> b n'
-    err = jnp.where(mask, err, 0.0)
-    num = jnp.sum(err, axis=-1)
-    den = jnp.clip(jnp.sum(mask, axis=-1).astype(jnp.float32), min=1e-5)
-    return jnp.mean(num / den)
+    return masked_mse(pred, flow, mask) / x1.shape[0]
 
 
 # ---------------------------------------------------------------------------

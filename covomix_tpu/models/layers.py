@@ -104,11 +104,19 @@ def rmsnorm_init(dim: int):
     return {"gamma": jnp.ones((dim,), jnp.float32)}
 
 
+def _l2_normalize(xf):
+    """x / max(||x||, 1e-12) computed as x * rsqrt(max(||x||^2, 1e-24)):
+    identical forward (sqrt is monotone), but the VJP stays finite at x == 0
+    (sqrt'(0) = inf would otherwise turn zero cotangents into NaN — hit by
+    pipeline-parallel bubble ticks that run on zero-filled activations)."""
+    sq = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    return xf * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+
+
 def rmsnorm(p, x):
     """F.normalize(x, dim=-1) * sqrt(d) * gamma (acoustic.py:165-175)."""
     xf = x.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
-    normed = xf / jnp.maximum(norm, 1e-12) * math.sqrt(x.shape[-1])
+    normed = _l2_normalize(xf) * math.sqrt(x.shape[-1])
     return (normed * p["gamma"]).astype(x.dtype)
 
 
@@ -123,8 +131,7 @@ def adaptive_rmsnorm_init(key, dim: int, cond_dim: int):
 def adaptive_rmsnorm(p, x, cond):
     """cond: [B, cond_dim] -> per-example scale/shift (acoustic.py:198-204)."""
     xf = x.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
-    normed = xf / jnp.maximum(norm, 1e-12) * math.sqrt(x.shape[-1])
+    normed = _l2_normalize(xf) * math.sqrt(x.shape[-1])
     gamma = linear(p["to_gamma"], cond.astype(jnp.float32))[:, None, :]
     beta = linear(p["to_beta"], cond.astype(jnp.float32))[:, None, :]
     return (normed * gamma + beta).astype(x.dtype)
