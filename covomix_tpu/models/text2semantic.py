@@ -357,6 +357,7 @@ def generate(
     top_k_thres: float = 0.1,
     cond_scale: float = 1.0,
     min_length: int = 0,
+    no_repeat_ngram_size: int = 0,
     source_emb: Optional[jnp.ndarray] = None,
     source_mask: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
@@ -476,6 +477,12 @@ def generate(
             eos_mask = (jnp.arange(lg1.shape[-1]) == eos) & (i < min_length)
             lg1 = jnp.where(eos_mask[None, :], S.NEG_INF, lg1)
             lg2 = jnp.where(eos_mask[None, :], S.NEG_INF, lg2)
+        if no_repeat_ngram_size > 0:
+            # fairseq ngram_repeat_block capability (see ops/sampling.py) —
+            # serving-side degeneracy control, no reference CLI equivalent
+            lg1 = S.ban_repeated_ngrams(lg1, tokens1, i, no_repeat_ngram_size)
+            if cfg.two_output:
+                lg2 = S.ban_repeated_ngrams(lg2, tokens2, i, no_repeat_ngram_size)
         s1 = S.gumbel_sample(k1, S.top_k_filter(lg1, thres=top_k_thres), temperature).astype(jnp.int32)
         tokens1 = jax.lax.dynamic_update_slice(tokens1, s1[:, None], (0, i))
         done1 = done1 | (s1 == eos)

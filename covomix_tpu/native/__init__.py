@@ -35,13 +35,20 @@ def _load():
         return _lib
     try:
         lib = ctypes.CDLL(_SO)
+        if not hasattr(lib, "balanced_assignment_f32"):
+            # stale build from an older source revision: rebuild and reload
+            _build()
+            lib = ctypes.CDLL(_SO)
         i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
         lib.levenshtein_i64.restype = ctypes.c_int64
         lib.levenshtein_i64.argtypes = [i64p, ctypes.c_int64, i64p, ctypes.c_int64]
         lib.levenshtein_batch_i64.restype = None
         lib.levenshtein_batch_i64.argtypes = [i64p, i64p, i64p, i64p, ctypes.c_int64, i64p]
         lib.batch_by_size.restype = ctypes.c_int64
         lib.batch_by_size.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.balanced_assignment_f32.restype = None
+        lib.balanced_assignment_f32.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64, i64p]
         _lib = lib
     except OSError:
         _lib = False
@@ -119,3 +126,60 @@ def batch_by_size(lengths: Sequence[int], max_tokens: int = 0, max_sentences: in
     if cur:
         batches.append(np.asarray(cur))
     return batches
+
+
+def balanced_assignment(scores) -> np.ndarray:
+    """Balanced token->expert assignment (fairseq BASE-layer EP routing
+    capability, fairseq/clib/libbase/balanced_assignment.cpp semantics):
+    scores [T, E] with E | T; every expert receives exactly T/E tokens,
+    approximately maximizing total affinity (Bertsekas auction, eps-optimal).
+
+    Returns expert_of_token [T] int64. Sort tokens by it (stable) for the
+    BASE-layer's contiguous per-expert chunks."""
+    s = np.ascontiguousarray(np.asarray(scores, np.float32))
+    assert s.ndim == 2, s.shape
+    t, e = s.shape
+    assert e > 0 and t % e == 0, f"experts {e} must divide tokens {t}"
+    lib = _load()
+    if lib:
+        out = np.zeros(t, np.int64)
+        lib.balanced_assignment_f32(s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                                    t, e, _ptr(out))
+        return out
+    # numpy fallback: same Gauss-Seidel auction
+    k = t // e
+    eps = max((float(s.max()) - float(s.min())) / 50.0, 1e-4)
+    cost = np.zeros(t, np.float64)
+    owner = np.full(t, -1, np.int64)
+    need = np.full(e, k, np.int64)
+    queue = list(range(e))
+    rounds = 0
+    while queue and rounds < 2000 * e:
+        rounds += 1
+        ex = queue.pop(0)
+        m = int(need[ex])
+        if m <= 0:
+            continue
+        value = s[:, ex] - cost
+        cand = np.flatnonzero(owner != ex)
+        order = cand[np.argsort(-value[cand], kind="stable")]
+        take = min(m, len(order))
+        runner_up = value[order[take]] if len(order) > take else float(value.min()) - 1.0
+        for tk in order[:take]:
+            prev = int(owner[tk])
+            owner[tk] = ex
+            need[ex] -= 1
+            cost[tk] += value[tk] - runner_up + eps
+            if prev >= 0:
+                need[prev] += 1
+                queue.append(prev)
+        if need[ex] > 0:
+            queue.append(ex)
+    for ex in range(e):         # fill-in fallback
+        while need[ex] > 0:
+            free = np.flatnonzero(owner < 0)
+            if not len(free):
+                break
+            owner[free[np.argmax(s[free, ex])]] = ex
+            need[ex] -= 1
+    return owner

@@ -9,12 +9,17 @@
 //   * pad_batch_f32/i32  — fused copy+pad of ragged rows into a static-shape
 //                          batch buffer (collate hot path, avoids per-row
 //                          numpy dispatch)
+//   * balanced_assignment_f32 — balanced token->expert routing via the
+//                          Bertsekas auction algorithm (capability of
+//                          fairseq/clib/libbase/balanced_assignment.cpp, the
+//                          BASE-layer EP router; independent implementation)
 //
 // Exposed via a plain C ABI for ctypes (no pybind11 in this image).
 
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <numeric>
 #include <vector>
 
 extern "C" {
@@ -94,6 +99,79 @@ void pad_batch_i32(const int32_t* flat, const int64_t* offsets, int64_t n,
         const int64_t t = std::min((offsets[i + 1] - offsets[i]) / dim, max_len);
         std::memcpy(out + i * max_len * dim, flat + offsets[i], t * dim * sizeof(int32_t));
     }
+}
+
+// Balanced linear assignment of T tokens to E experts (E divides T), each
+// expert receiving exactly k = T/E tokens, approximately maximizing the total
+// affinity. Gauss-Seidel auction (Bertsekas): unfilled experts repeatedly bid
+// token price increments for their best-value tokens; an outbid expert
+// releases the token and re-enters the queue. eps-optimal with
+// eps = max((smax - smin)/50, 1e-4); bounded iterations with a greedy
+// fill-in fallback so the call always terminates with a balanced assignment.
+//
+// scores: [T, E] row-major token->expert affinity. out_expert: [T] expert id.
+void balanced_assignment_f32(const float* scores, int64_t T, int64_t E,
+                             int64_t* out_expert) {
+    const int64_t k = T / E;
+    float smax = scores[0], smin = scores[0];
+    for (int64_t i = 0; i < T * E; ++i) {
+        smax = std::max(smax, scores[i]);
+        smin = std::min(smin, scores[i]);
+    }
+    const float eps = std::max((smax - smin) / 50.0f, 1e-4f);
+
+    std::vector<float> cost(T, 0.0f);
+    std::vector<int64_t> owner(T, -1);
+    std::vector<int64_t> need(E, k);
+    std::vector<int64_t> queue(E);
+    std::iota(queue.begin(), queue.end(), 0);
+
+    std::vector<int64_t> cand(T);
+    const int64_t max_rounds = 2000 * E;
+    int64_t rounds = 0;
+    size_t qh = 0;  // queue head (ring)
+    while (qh < queue.size() && rounds++ < max_rounds) {
+        const int64_t e = queue[qh++];
+        int64_t m = need[e];
+        if (m <= 0) continue;
+        // candidates: tokens not already owned by e, by value = score - cost
+        int64_t nc = 0;
+        for (int64_t t = 0; t < T; ++t)
+            if (owner[t] != e) cand[nc++] = t;
+        auto value = [&](int64_t t) { return scores[t * E + e] - cost[t]; };
+        const int64_t take = std::min(m, nc);
+        const int64_t sel = std::min(take + 1, nc);
+        std::partial_sort(cand.begin(), cand.begin() + sel, cand.begin() + nc,
+                          [&](int64_t a, int64_t b) { return value(a) > value(b); });
+        const float runner_up = (nc > take) ? value(cand[take]) : smin - cost[0] - 1.0f;
+        for (int64_t j = 0; j < take; ++j) {
+            const int64_t t = cand[j];
+            const float bid = value(t) - runner_up + eps;
+            const int64_t prev = owner[t];
+            owner[t] = e;
+            need[e]--;
+            cost[t] += bid;
+            if (prev >= 0) {
+                need[prev]++;
+                queue.push_back(prev);
+            }
+        }
+        if (need[e] > 0) queue.push_back(e);
+    }
+    // fill-in fallback (only reachable if max_rounds hit): give unfilled
+    // experts their best remaining unowned tokens
+    for (int64_t e = 0; e < E; ++e) {
+        while (need[e] > 0) {
+            int64_t best = -1;
+            for (int64_t t = 0; t < T; ++t)
+                if (owner[t] < 0 && (best < 0 || scores[t * E + e] > scores[best * E + e]))
+                    best = t;
+            if (best < 0) break;
+            owner[best] = e;
+            need[e]--;
+        }
+    }
+    for (int64_t t = 0; t < T; ++t) out_expert[t] = owner[t];
 }
 
 }  // extern "C"

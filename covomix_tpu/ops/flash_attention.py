@@ -27,8 +27,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+# Measured on v5e at the VoMix serving shape (B=8 CFG-doubled, H=16, T=912,
+# dh=64, bf16): 1024/1024/hb=2 -> 24.4 TFLOP/s vs 20.5 at 512/512 (the
+# [hb, bq, bk] f32 softmax block is 8 MB, inside the 16 MB VMEM scope; hb=4
+# at bq=1024 fails to compile). Larger sequences fall back to multiple kv
+# iterations of 1024. jax's built-in pallas flash kernel peaks at 22.7 on
+# this shape; the XLA einsum path runs 13.3.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 DEFAULT_HEAD_BLOCK = 2
 
 

@@ -62,6 +62,40 @@ def mask_after_eos(tokens: jnp.ndarray, eos_id: int, pad_id: int) -> jnp.ndarray
     return jnp.where(after, pad_id, tokens)
 
 
+def ban_repeated_ngrams(logits: jnp.ndarray, tokens: jnp.ndarray, cur_len: jnp.ndarray,
+                        n: int) -> jnp.ndarray:
+    """No-repeat-ngram masking inside a jitted AR decode loop.
+
+    TPU-native equivalent of fairseq's ngram_repeat_block CUDA kernel
+    (fairseq/clib/cuda/ngram_repeat_block_cuda_kernel.cu: for each window of
+    the last n-1 generated tokens matching an earlier window, ban the token
+    that followed it). Pure jnp, shape-static: `tokens` [B, L] is the decode
+    buffer, `cur_len` a traced scalar (# tokens generated so far), `n` static.
+
+    Returns logits [B, V] with banned token ids set to NEG_INF. No-op while
+    cur_len < n."""
+    if n <= 0:
+        return logits
+    b, l = tokens.shape
+    # prefix = last n-1 generated tokens: tokens[cur_len-(n-1) : cur_len]
+    start = jnp.maximum(cur_len - (n - 1), 0)
+    pref_idx = (start + jnp.arange(n - 1)) % l
+    prefix = tokens[:, pref_idx] if n > 1 else jnp.zeros((b, 0), tokens.dtype)
+    # window at j matches iff tokens[j+i] == prefix[i] for all i < n-1,
+    # and the banned continuation tokens[j+n-1] lies inside the generated region
+    eq = jnp.ones((b, l), bool)
+    for i in range(n - 1):
+        eq &= jnp.roll(tokens, -i, axis=1) == prefix[:, i][:, None]
+    pos = jnp.arange(l)[None, :]
+    valid = (pos + n - 1 < cur_len) & (cur_len >= n)
+    match = eq & valid
+    banned = jnp.roll(tokens, -(n - 1), axis=1)                  # tokens[j+n-1] at col j
+    banned = jnp.where(match, banned, -1)                        # -1 -> dropped by scatter
+    counts = jnp.zeros(logits.shape, jnp.int32).at[
+        jnp.arange(b)[:, None], banned].add(match.astype(jnp.int32), mode="drop")
+    return jnp.where(counts > 0, NEG_INF, logits)
+
+
 def set_eos_id(tokens: jnp.ndarray, eos_id: int, pad_id: int) -> jnp.ndarray:
     """Append one position and write eos at the first pad slot per row
     (text2semantic.py:59-67). Static +1 length."""

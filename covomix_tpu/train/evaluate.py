@@ -192,3 +192,41 @@ def evaluate_t2s(params, cfg, eval_batches, key, *, max_length: int = 512,
             accs.append(float(np.mean(ref[:m] == hyp[:m])) if m else 0.0)
     return {"l2": float(np.mean(wers)) if wers else float("nan"),  # logged as 'l2' like the reference
             "accuracy": float(np.mean(accs)) if accs else float("nan")}
+
+
+def evaluate_t2s_files(params, cfg, tokenizer, code_files: List[str], num_eval_files: int, key, *,
+                       max_length: int = 2048, temperature: float = 1.0, cond_scale: float = 1.0,
+                       bucket: int = 32, dtype=jnp.float32) -> Dict[str, float]:
+    """File-level T2S eval, the reference's evaluate_text2semantic
+    (inference.py:287-358): uniform selection over validation code files, text
+    from the sibling .txt ('-16k.hubert_code.npy' / '_1.hubert_code.npy' ->
+    '.txt'), BERT-tokenize, decode with NO prompt (the reference passes
+    prompt_mel=None), two_output keeps the first half (:323-325), pad both
+    sequences to equal length with 501, jiwer-style WER averaged over files and
+    reported as 'l2'. Text ids are bucket-padded (pad 0 = BERT [PAD], which the
+    source mask drops) so jit executables are reused across lengths."""
+    from covomix_tpu.models import text2semantic as T
+
+    gen = jax.jit(functools.partial(T.generate, cfg=cfg, max_length=max_length,
+                                    temperature=temperature, cond_scale=cond_scale, dtype=dtype))
+    wers = []
+    for i in _uniform_indices(len(code_files), num_eval_files):
+        code_path = code_files[i]
+        txt_path = code_path.replace("-16k.hubert_code.npy", ".txt").replace("_1.hubert_code.npy", ".txt")
+        if txt_path == code_path:
+            txt_path = code_path.replace(".hubert_code.npy", ".txt")
+        with open(txt_path) as f:
+            text = f.read()
+        gt = np.load(code_path).astype(int).reshape(-1)
+        ids = np.asarray(tokenizer.encode(text), np.int32)
+        ids = _pad_bucket(ids, bucket, 0)
+        key, sub = jax.random.split(key)
+        out = gen(params, key=sub, source_ids=jnp.asarray(ids)[None])
+        # GenerateResult.tokens is stream 1 (== the first half the reference
+        # keeps from its flat two-stream concat, inference.py:323-325)
+        hyp = np.asarray(out.tokens)[0]
+        hyp = hyp[hyp != cfg.semantic_pad_id]
+        n = max(len(gt), len(hyp))
+        wers.append(token_wer(np.pad(gt, (0, n - len(gt)), constant_values=501),
+                              np.pad(hyp, (0, n - len(hyp)), constant_values=501)))
+    return {"l2": float(np.mean(wers)) if wers else float("nan")}

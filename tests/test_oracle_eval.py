@@ -83,6 +83,33 @@ def test_evaluate_two_one_files_runs(mel_dir):
     assert np.isfinite(out["l2"]) and out["l2"] > 0
 
 
+def test_evaluate_t2s_files_runs(tmp_path):
+    """File-level T2S WER eval (inference.py:287-358): .txt sibling lookup,
+    no-prompt decode, 501-padded WER."""
+    from covomix_tpu.data.tokenizer import COVOMIX_ADDED_TOKENS, WordPieceTokenizer
+    from covomix_tpu.models import text2semantic as T
+
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tok = WordPieceTokenizer(None, added_tokens=COVOMIX_ADDED_TOKENS)
+    rng = np.random.RandomState(0)
+    files = []
+    for k in range(3):
+        base = os.path.join(str(tmp_path), f"utt{k}")
+        np.save(base + "-16k.hubert_code.npy", rng.randint(0, 500, 20 + k).astype(str))
+        with open(base + ".txt", "w") as f:
+            f.write("hello there [laughter] yes\n")
+        files.append(base + "-16k.hubert_code.npy")
+
+    cfg = T.T2SConfig(dim=32, source_depth=1, target_depth=1, heads=2, dim_head=16,
+                      num_text_tokens=tok.vocab_size, num_semantic_tokens=501)
+    params = T.init(jax.random.PRNGKey(0), cfg)
+    out = E.evaluate_t2s_files(params, cfg, tok, files, 2, jax.random.PRNGKey(1),
+                               max_length=32)
+    assert np.isfinite(out["l2"]) and out["l2"] >= 0
+
+
 def test_evaluate_acoustic_batch_orientation():
     """Reference scores the FIRST 70% (generated) conditioned on the tail
     (inference.py:49-70): check cond is zeroed at the front."""
