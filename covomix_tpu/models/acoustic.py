@@ -116,24 +116,31 @@ def _time_embedding(params, times, dtype):
     return jax.nn.silu(h)
 
 
-def layer_core(lp, cfg: AcousticConfig, x, time_emb, key_mask=None):
+def layer_core(lp, cfg: AcousticConfig, x, time_emb, key_mask=None,
+               positions=None, attend_fn=None):
     """One transformer layer (attention + FFN blocks with adaptive RMSNorm),
     excluding the U-Net skip combiner (acoustic.py:286-310 loop body). Shared
-    by the sequential `_transformer` and the pipeline-parallel stage function
-    (parallel/pipeline.py), which handles skips dynamically."""
+    by the sequential `_transformer`, the pipeline-parallel stage function
+    (parallel/pipeline.py), and the sequence-parallel transformer
+    (parallel/ring.py — which injects global rotary `positions` and a ring
+    `attend_fn`)."""
     inv_freq = L.rotary_freqs(cfg.dim_head)
-    positions = jnp.arange(x.shape[1])
+    if positions is None:
+        positions = jnp.arange(x.shape[1])
     h = L.adaptive_rmsnorm(lp["attn_norm"], x, time_emb)
     qkv = L.linear(lp["qkv"], h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (L.split_heads(t, cfg.heads) for t in (q, k, v))
     q = L.rotary_halfsplit(positions, inv_freq, q)
     k = L.rotary_halfsplit(positions, inv_freq, k)
-    # dense non-causal attention: Pallas flash kernel on TPU for long
-    # sequences, XLA einsum otherwise (ops/flash_attention.py). key_mask
-    # (bucket-padded inference) routes through the masked einsum path.
-    attn = L.merge_heads(attend_flash_or_xla(q, k, v, key_mask=key_mask))
-    x = L.linear(lp["attn_out"], attn) + x
+    if attend_fn is None:
+        # dense non-causal attention: Pallas flash kernel on TPU for long
+        # sequences, XLA einsum otherwise (ops/flash_attention.py). key_mask
+        # (bucket-padded inference) routes through the masked einsum path.
+        attn = attend_flash_or_xla(q, k, v, key_mask=key_mask)
+    else:
+        attn = attend_fn(q, k, v)
+    x = L.linear(lp["attn_out"], L.merge_heads(attn)) + x
     h = L.adaptive_rmsnorm(lp["ff_norm"], x, time_emb)
     h = L.linear(lp["ff2"], jax.nn.gelu(L.linear(lp["ff1"], h), approximate=False))
     return h + x
