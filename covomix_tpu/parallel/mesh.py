@@ -69,8 +69,8 @@ def param_shardings(mesh: Mesh, params: Any, *, tp: bool = True, fsdp: bool = Fa
     'tp'; fsdp additionally shards the largest remaining axis over 'dp'."""
     paths, treedef = _flat_paths(params)
     shardings = []
-    tp_size = mesh.shape["tp"]
-    dp_size = mesh.shape["dp"]
+    tp_size = dict(mesh.shape).get("tp", 1)   # meshes without a 'tp' axis (pp/sp) -> replicate
+    dp_size = dict(mesh.shape).get("dp", 1)
     for path, leaf in paths:
         nd = np.ndim(leaf)
         spec = None

@@ -31,6 +31,9 @@ def build_argparser():
     t.add_argument("--steps_per_epoch", type=int, default=0, help="0 = full dataset pass")
     t.add_argument("--dp", type=int, default=0, help="data-parallel mesh size (0 = all devices)")
     t.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    t.add_argument("--pp", type=int, default=1, help="pipeline-parallel stages (acoustic only; GPipe over 'pp')")
+    t.add_argument("--pp_microbatches", type=int, default=4, help="GPipe microbatches per step")
+    t.add_argument("--sp", type=int, default=1, help="sequence-parallel shards (acoustic only; ring attention over 'sp')")
     t.add_argument("--fsdp", action="store_true", help="shard params over dp (ZeRO-style)")
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--ckpt_every", type=int, default=1000)
@@ -141,12 +144,53 @@ def main():
                          num_workers=args.num_workers)
 
     # ---- mesh + state
-    mesh = make_mesh(dp=args.dp or None, tp=args.tp)
+    if (args.pp > 1 or args.sp > 1) and args.text2semantic:
+        sys.exit("--pp/--sp apply to the acoustic model only")
+    if args.pp > 1 and args.sp > 1:
+        sys.exit("choose one of --pp / --sp")
     train_cfg = TrainConfig(lr=args.lr, ema_decay=args.ema_decay, use_lr_schedule=args.lr_scheduler,
                             total_epochs=args.total_epochs, wake_up_epochs=args.wake_up_epochs,
                             decay_start_epoch=args.decay_start_epoch, steps_per_epoch=steps_per_epoch)
+
+    def acoustic_split(x):
+        return (x[..., -80:], x[..., :-80]) if model_cfg.mode == "two_one" else (x, x)
+
+    pp_unstack = None
+    if args.pp > 1:
+        from covomix_tpu.parallel import pipeline as PPm
+        from covomix_tpu.train.loop import init_train_state
+
+        mesh = PPm.make_pp_mesh(dp=args.dp or len(jax.devices()) // args.pp, pp=args.pp)
+        stacked, rest = PPm.stack_layer_params(params, model_cfg)
+        params = {"stacked": stacked, "rest": rest}
+        p_shard = PPm.pp_param_shardings(mesh, params)
+        params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+        pp_unstack = lambda tree: PPm.unstack_layer_params(tree["stacked"], tree["rest"], model_cfg)
+
+        def loss_fn_core(p, batch, k):  # noqa: F811 — pipelined acoustic loss
+            tgt, cond = acoustic_split(batch["x"])
+            return PPm.pp_cfm_loss(p, model_cfg, k, tgt, batch["phonemes"], cond, batch.get("mask"),
+                                   mesh=mesh, num_microbatches=args.pp_microbatches,
+                                   cond_drop_prob=args.cond_drop_prob, dtype=dtype)
+    elif args.sp > 1:
+        from covomix_tpu.parallel import ring as R
+
+        mesh = R.make_sp_mesh(dp=args.dp or len(jax.devices()) // args.sp, sp=args.sp)
+
+        def loss_fn_core(p, batch, k):  # noqa: F811 — sequence-parallel acoustic loss
+            tgt, cond = acoustic_split(batch["x"])
+            return R.cfm_loss_sp(p, model_cfg, k, tgt, batch["phonemes"], cond, batch.get("mask"),
+                                 mesh=mesh, cond_drop_prob=args.cond_drop_prob, dtype=dtype)
+    else:
+        mesh = make_mesh(dp=args.dp or None, tp=args.tp)
     with mesh:
-        state, p_shard = init_sharded_state(params, train_cfg, mesh, tp=args.tp > 1, fsdp=args.fsdp)
+        if args.pp > 1:
+            from covomix_tpu.train.loop import init_train_state
+
+            state = init_train_state(params, train_cfg)
+        else:
+            state, p_shard = init_sharded_state(params, train_cfg, mesh,
+                                                tp=args.tp > 1 and args.sp == 1, fsdp=args.fsdp)
         step_fn = make_sharded_train_step(loss_fn_core, train_cfg, mesh, p_shard)
 
         start_step = 0
@@ -188,6 +232,8 @@ def main():
                 eval_batches = [collate(eval_items[i : i + args.batch_size]) for i in range(0, len(eval_items), args.batch_size)]
                 key, sub = jax.random.split(key)
                 ema = jax.device_get(state.ema_params)  # eval swaps EMA in (conditional_model.py:203-217)
+                if pp_unstack is not None:
+                    ema = pp_unstack(ema)   # pp stacked tree -> canonical params
                 if args.text2semantic:
                     ev = E.evaluate_t2s(ema, model_cfg, eval_batches, sub, dtype=dtype)
                 else:
