@@ -104,6 +104,81 @@ def transformer_sp(params, cfg: A.AcousticConfig, x, time_emb, axis_name: str, s
     return L.rmsnorm(params["final_norm"], x)
 
 
+def sample_sp(
+    params: Any,
+    cfg: A.AcousticConfig,
+    key,
+    phoneme_ids: jnp.ndarray,     # [B, T] or [B, T, 2]
+    cond: jnp.ndarray,            # [B, T, dim_in]
+    *,
+    mesh: Mesh,
+    cond_scale: float = 1.0,
+    step_size: float = 0.0625,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Midpoint ODE sampling (== acoustic.sample for the same key) with the
+    sequence sharded over 'sp' — synthesis of dialogues longer than one
+    chip's activation memory. The CFG (cond, null) pair is stacked on a local
+    size-2 axis per row so the combine `logits*(1+s) - s*null`
+    (acoustic.py:428) never crosses devices. Assumes exact-length input
+    (no key_mask; trim/bucket on the host like the pipeline does)."""
+    sp = mesh.shape["sp"]
+    b, t = cond.shape[0], cond.shape[1]
+    assert t % sp == 0, f"sequence {t} not divisible by sp={sp}"
+    n_steps = int(round(1.0 / step_size))
+    h_step = 1.0 / n_steps
+    y0 = jax.random.normal(key, (b, t, cfg.mel_dim), jnp.float32)  # same draw as acoustic.sample
+    use_cfg = cond_scale != 1.0
+    nb = 2 if use_cfg else 1
+
+    ph2 = jnp.stack([phoneme_ids] * nb, axis=1)                    # [B, nb, T(, 2)]
+    c2 = jnp.stack([cond] * nb, axis=1)
+    drop = jnp.tile(jnp.arange(nb, dtype=jnp.int32)[None] > 0, (b, 1))   # [B, nb] null branch flag
+
+    seq3 = P("dp", None, "sp")
+
+    def body(p, y0_l, ph_l, cond_l, drop_l):
+        bl, _, tl = ph_l.shape[:3]
+        ph_f = ph_l.reshape((bl * nb, tl) + ph_l.shape[3:])
+        cond_f = cond_l.reshape(bl * nb, tl, -1)
+        drop_f = drop_l.reshape(bl * nb).astype(bool)
+        emb = A.static_embed(p, cfg, ph_f, cond_f, cond_drop_mask=drop_f, dtype=dtype)
+
+        def field(y, tscalar):
+            # rows interleave as (b0 cond, b0 null, b1 cond, ...) matching the
+            # [B, nb] stacking of ph/cond/drop
+            y2 = jnp.repeat(y[:, None], nb, axis=1).reshape(bl * nb, tl, cfg.mel_dim).astype(dtype)
+            h = y2 @ p["to_embed"]["w"].astype(dtype)[: cfg.mel_dim] + emb
+            conv = jax.nn.gelu(conv1d_halo(p["conv_embed"], h, cfg.conv_pos_kernel,
+                                           cfg.dim, "sp", sp), approximate=False)
+            h = conv + h
+            temb = A._time_embedding(p, jnp.full((bl * nb,), tscalar), dtype)
+            h = transformer_sp(p, cfg, h, temb, "sp", sp)
+            out = L.linear(p["to_pred"], h).astype(jnp.float32)
+            if nb == 2:
+                out = out.reshape(bl, 2, tl, cfg.mel_dim)
+                return out[:, 0] * (1 + cond_scale) - cond_scale * out[:, 1]
+            return out
+
+        def step(y, i):
+            t0 = i.astype(jnp.float32) * h_step
+            k1 = field(y, t0)
+            k2 = field(y + 0.5 * h_step * k1, t0 + 0.5 * h_step)
+            return y + h_step * k2, None
+
+        y, _ = jax.lax.scan(step, y0_l, jnp.arange(n_steps))
+        return y
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), params),
+                  P("dp", "sp"), seq3, seq3, P("dp", None)),
+        out_specs=P("dp", "sp"),
+        check_vma=False,
+    )(params, y0, ph2, c2, drop)
+
+
 def cfm_loss_sp(
     params: Any,
     cfg: A.AcousticConfig,

@@ -65,6 +65,21 @@ def test_conv_halo_matches_same_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("cond_scale", [1.0, 0.7])
+@pytest.mark.parametrize("dp,sp", [(2, 2), (1, 4)])
+def test_sample_sp_matches_single_device(dp, sp, cond_scale):
+    if dp * sp > len(jax.devices()):
+        pytest.skip("not enough devices")
+    params = A.init(jax.random.PRNGKey(3), CFG)
+    _, ph, cond = _batch()
+    key = jax.random.PRNGKey(4)
+    ref = jax.jit(lambda: A.sample(params, CFG, key, ph, cond, cond_scale=cond_scale))()
+    mesh = R.make_sp_mesh(dp, sp, jax.devices()[: dp * sp])
+    got = jax.jit(lambda: R.sample_sp(params, CFG, key, ph, cond, mesh=mesh,
+                                      cond_scale=cond_scale))()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
 @pytest.mark.parametrize("dp,sp", [(2, 2), (1, 4), (2, 4)])
 def test_sp_loss_and_grads_match_single_device(dp, sp):
     if dp * sp > len(jax.devices()):
