@@ -116,7 +116,7 @@ def _time_embedding(params, times, dtype):
     return jax.nn.silu(h)
 
 
-def layer_core(lp, cfg: AcousticConfig, x, time_emb, key_mask=None,
+def layer_core(lp, cfg: AcousticConfig, x, time_emb, key_mask=None, valid_len=None,
                positions=None, attend_fn=None):
     """One transformer layer (attention + FFN blocks with adaptive RMSNorm),
     excluding the U-Net skip combiner (acoustic.py:286-310 loop body). Shared
@@ -135,9 +135,11 @@ def layer_core(lp, cfg: AcousticConfig, x, time_emb, key_mask=None,
     k = L.rotary_halfsplit(positions, inv_freq, k)
     if attend_fn is None:
         # dense non-causal attention: Pallas flash kernel on TPU for long
-        # sequences, XLA einsum otherwise (ops/flash_attention.py). key_mask
-        # (bucket-padded inference) routes through the masked einsum path.
-        attn = attend_flash_or_xla(q, k, v, key_mask=key_mask)
+        # sequences, XLA einsum otherwise (ops/flash_attention.py).
+        # Bucket-padded inference passes valid_len (scalar prefix length) and
+        # stays on the flash kernel; an arbitrary bool key_mask routes
+        # through the masked einsum path.
+        attn = attend_flash_or_xla(q, k, v, key_mask=key_mask, valid_len=valid_len)
     else:
         attn = attend_fn(q, k, v)
     x = L.linear(lp["attn_out"], L.merge_heads(attn)) + x
@@ -146,7 +148,7 @@ def layer_core(lp, cfg: AcousticConfig, x, time_emb, key_mask=None,
     return h + x
 
 
-def _transformer(params, cfg: AcousticConfig, x, time_emb, key_mask=None):
+def _transformer(params, cfg: AcousticConfig, x, time_emb, key_mask=None, valid_len=None):
     half = cfg.depth // 2
     skips = []
     for i, lp in enumerate(params["layers"]):
@@ -154,7 +156,7 @@ def _transformer(params, cfg: AcousticConfig, x, time_emb, key_mask=None):
             skips.append(x)
         else:
             x = L.linear(lp["skip"], jnp.concatenate([x, skips.pop()], axis=-1))
-        x = layer_core(lp, cfg, x, time_emb, key_mask=key_mask)
+        x = layer_core(lp, cfg, x, time_emb, key_mask=key_mask, valid_len=valid_len)
     return L.rmsnorm(params["final_norm"], x)
 
 
@@ -228,6 +230,7 @@ def forward(
     cond_drop_mask: Optional[jnp.ndarray] = None,  # [B] bool; True -> drop cond (CFG null branch)
     precomputed_embed: Optional[jnp.ndarray] = None,  # from static_embed()
     key_mask: Optional[jnp.ndarray] = None,  # [B, T] bool; False = padded frame (attention-excluded)
+    valid_len=None,                          # scalar: frames >= valid_len are bucket padding
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Vector-field prediction (acoustic.py:430-521). Pure: all randomness
@@ -244,11 +247,17 @@ def forward(
     # bucket padding: zero padded frames before the depthwise conv so its
     # 15-frame halo sees the same zeros an exact-length edge would
     # (see embed_inputs for the un-fused variant used by the PP schedule)
-    conv_in = h if key_mask is None else h * key_mask[..., None].astype(dtype)
+    if key_mask is None and valid_len is not None:
+        frame_keep = (jnp.arange(h.shape[1]) < valid_len)[None, :, None].astype(dtype)
+        conv_in = h * frame_keep
+    elif key_mask is not None:
+        conv_in = h * key_mask[..., None].astype(dtype)
+    else:
+        conv_in = h
     conv = jax.nn.gelu(L.conv1d(params["conv_embed"], conv_in, padding=cfg.conv_pos_kernel // 2, groups=cfg.dim), approximate=False)
     h = conv + h  # acoustic.py:508
     time_emb = _time_embedding(params, times, dtype)
-    h = _transformer(params, cfg, h, time_emb, key_mask=key_mask)
+    h = _transformer(params, cfg, h, time_emb, key_mask=key_mask, valid_len=valid_len)
     return L.linear(params["to_pred"], h).astype(jnp.float32)
 
 
@@ -355,6 +364,7 @@ def sample(
     cond_scale: float = 1.0,
     step_size: float = 0.0625,
     key_mask: Optional[jnp.ndarray] = None,
+    valid_len=None,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Midpoint ODE integration of the learned vector field from t=0 to t=1 as a
@@ -364,8 +374,11 @@ def sample(
 
     Note the reference's `sample` accepts a mask but ignores it (callers trim
     afterwards, monologue_generation.py:172); we keep that contract. `key_mask`
-    [B, T] is different: it excludes bucket-padding frames from attention so
-    padded inference matches exact-length inference (tests/test_bucket_skew.py)."""
+    [B, T] / `valid_len` (scalar true length) are different: they exclude
+    bucket-padding frames from attention so padded inference matches
+    exact-length inference (tests/test_bucket_skew.py). Prefer `valid_len` —
+    it keeps attention on the Pallas flash kernel (the bool-mask path falls
+    back to the XLA einsum)."""
     n_steps = int(round(1.0 / step_size))
     b, t = cond.shape[0], cond.shape[1]
     y0 = jax.random.normal(key, (b, t, cfg.mel_dim), jnp.float32)
@@ -383,7 +396,7 @@ def sample(
             y2 = jnp.concatenate([y, y], axis=0)
             times = jnp.full((2 * b,), times_scalar)
             out = forward(params, cfg, y2, ph2, c2, times, cond_drop_mask=drop,
-                          precomputed_embed=emb2, key_mask=km2, dtype=dtype)
+                          precomputed_embed=emb2, key_mask=km2, valid_len=valid_len, dtype=dtype)
             logits, null_logits = out[:b], out[b:]
             return logits * (1 + cond_scale) - cond_scale * null_logits
     else:
@@ -393,7 +406,7 @@ def sample(
         def field(y, times_scalar):
             times = jnp.full((b,), times_scalar)
             return forward(params, cfg, y, phoneme_ids, cond, times,
-                           precomputed_embed=emb1, key_mask=key_mask, dtype=dtype)
+                           precomputed_embed=emb1, key_mask=key_mask, valid_len=valid_len, dtype=dtype)
 
     h = 1.0 / n_steps
 

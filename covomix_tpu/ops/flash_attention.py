@@ -38,13 +38,15 @@ DEFAULT_BLOCK_K = 1024
 DEFAULT_HEAD_BLOCK = 2
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scale: float,
-                  valid_len: int):
-    # q_ref [1, hb, block_q, dh]; k_ref/v_ref [1, hb, kv_len, dh];
-    # o_ref [1, hb, block_q, dh]. valid_len (static): keys >= valid_len are
-    # padding and masked out.
+def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int,
+                  scale: float):
+    # valid_ref: SMEM scalar-prefetch [1] int32 — keys >= valid_len are
+    # padding and masked out (dynamic, so bucketed serving reuses ONE
+    # compiled kernel across true lengths). q_ref [1, hb, block_q, dh];
+    # k_ref/v_ref [1, hb, kv_len, dh]; o_ref [1, hb, block_q, dh].
     _, hb, block_q, dh = q_ref.shape
     q = q_ref[0]
+    valid_len = valid_ref[0]
 
     num_kb = kv_len // block_k
     full_kb = valid_len // block_k  # blocks with no padding
@@ -78,12 +80,25 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scal
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    *, block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+                    *, valid_len=None,
+                    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
                     head_block: int = DEFAULT_HEAD_BLOCK,
                     interpret: bool = False) -> jnp.ndarray:
     """q/k/v: [B, H, T, dh] -> [B, H, T, dh]. Arbitrary T: inputs are padded to
-    a block multiple and padded key columns are masked inside the kernel."""
+    a block multiple and padded key columns are masked inside the kernel.
+
+    `valid_len` (int or traced scalar, default T): keys at positions
+    >= valid_len are excluded — the prefix-mask contract of bucket-padded
+    serving (pipeline.flow_sample). It is a scalar-prefetch operand, so one
+    compiled kernel serves every true length within a bucket. Rows beyond
+    valid_len still attend the valid prefix (garbage-in garbage-out; callers
+    trim), so valid rows match exact-length attention."""
     b, h, t, dh = q.shape
+    if q.dtype.itemsize >= 4:
+        # f32 q/k/v doubles the VMEM footprint of the in-kernel blocks; the
+        # 16 MB scoped-vmem limit fits 1024x1024 blocks only for <=2-byte
+        # dtypes (bf16 serving path)
+        block_q, block_k = min(block_q, 512), min(block_k, 512)
     block_q = min(block_q, _round_up(t, 128))
     block_k = min(block_k, _round_up(t, 128))
     while h % head_block:
@@ -95,21 +110,25 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
     scale = dh ** -0.5
+    if valid_len is None:
+        valid_len = t
+    valid_arr = jnp.asarray(valid_len, jnp.int32).reshape(1)
 
-    kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=tp, scale=scale, valid_len=t)
+    kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=tp, scale=scale)
     grid = (b, h // head_block, tp // block_q)
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, tp, dh), q.dtype),
-        grid_spec=pl.GridSpec(
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, head_block, block_q, dh), lambda bb, hh, i: (bb, hh, i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, head_block, block_q, dh), lambda bb, hh, i, *_: (bb, hh, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i, *_: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i, *_: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, head_block, block_q, dh), lambda bb, hh, i: (bb, hh, i, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, head_block, block_q, dh), lambda bb, hh, i, *_: (bb, hh, i, 0), memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * tp * tp * dh,
@@ -117,7 +136,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             transcendentals=b * h * tp * tp,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(valid_arr, q, k, v)
     return out[:, :, :t] if tp != t else out
 
 
@@ -125,15 +144,21 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def attend_flash_or_xla(q, k, v, *, key_mask=None, causal=False, min_seq_for_flash: int = 512):
-    """Dispatch: dense non-causal unmasked attention on TPU with T >= threshold
-    and tileable shapes goes through the Pallas kernel; everything else uses
-    the XLA einsum path."""
+def attend_flash_or_xla(q, k, v, *, key_mask=None, valid_len=None, causal=False,
+                        min_seq_for_flash: int = 512):
+    """Dispatch: dense non-causal attention on TPU with T >= threshold and
+    tileable shapes goes through the Pallas kernel — including prefix-masked
+    bucket padding expressed as `valid_len` (scalar; the production serving
+    path). Arbitrary boolean `key_mask`, causal, small-T, and non-TPU cases
+    use the XLA einsum path."""
     from covomix_tpu.models.layers import attend
 
     t = q.shape[-2]
     on_tpu = jax.devices()[0].platform == "tpu"
     if (key_mask is None and not causal and on_tpu and t >= min_seq_for_flash
             and q.shape[-1] <= 256):
-        return flash_attention(q, k, v)
+        return flash_attention(q, k, v, valid_len=valid_len)
+    if key_mask is None and valid_len is not None:
+        key_mask = jnp.arange(t)[None, :] < jnp.asarray(valid_len).reshape(-1)[:, None]
+        key_mask = jnp.broadcast_to(key_mask, (q.shape[0], t))
     return attend(q, k, v, key_mask=key_mask, causal=causal)

@@ -121,10 +121,12 @@ class Synthesizer:
     def flow_sample(self, phoneme_ids: np.ndarray, cond: np.ndarray, key) -> np.ndarray:
         """Bucket-padded flow-matching sample; returns [T, 80] trimmed.
 
-        Pad frames are excluded from attention via key_mask so the bucketed
-        output matches exact-length inference (the reference always runs exact
-        lengths; without the mask pad frames leak into dense attention —
-        quantified in tests/test_bucket_skew.py)."""
+        Pad frames are excluded from attention via a dynamic `valid_len`
+        prefix mask so the bucketed output matches exact-length inference (the
+        reference always runs exact lengths; without the mask pad frames leak
+        into dense attention — quantified in tests/test_bucket_skew.py). The
+        scalar mask keeps attention on the Pallas flash kernel and compiles
+        ONCE per bucket shape (a traced scalar, not a python int)."""
         t = len(phoneme_ids)
         tb = max(self.bucket, _round_up(t, self.bucket))
         if phoneme_ids.ndim == 1:
@@ -134,9 +136,8 @@ class Synthesizer:
         ph[:t] = phoneme_ids
         c = np.zeros((tb, cond.shape[1]), np.float32)
         c[:t] = cond
-        key_mask = jnp.asarray((np.arange(tb) < t)[None, :])
         mel = self._sample_fn(self.acoustic_params, key=key, phoneme_ids=jnp.asarray(ph[None]),
-                              cond=jnp.asarray(c[None]), key_mask=key_mask)
+                              cond=jnp.asarray(c[None]), valid_len=jnp.int32(t))
         return np.asarray(mel[0, :t])
 
     def vocode(self, mel: np.ndarray) -> np.ndarray:

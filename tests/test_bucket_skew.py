@@ -57,6 +57,36 @@ def test_key_mask_removes_padding_skew():
     assert skew_masked < 1e-4
 
 
+def test_valid_len_matches_key_mask_and_exact():
+    """The scalar valid_len prefix mask (the production serving path — keeps
+    attention on the flash kernel on TPU) must match both the bool key_mask
+    and exact-length inference."""
+    params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(0), CFG)
+    t, tb = 45, 128
+    x, ph, cond = _inputs(t)
+    times = jnp.array([0.5])
+
+    with jax.default_matmul_precision("highest"):
+        exact = np.asarray(A.forward(params, CFG, jnp.asarray(x), jnp.asarray(ph),
+                                     jnp.asarray(cond), times))
+        xp, php, cp = _pad(x, tb, 0.0), _pad(ph, tb, 501), _pad(cond, tb, 0.0)
+        # traced scalar like pipeline.flow_sample passes (one compile per bucket)
+        fwd = jax.jit(lambda vl: A.forward(params, CFG, jnp.asarray(xp), jnp.asarray(php),
+                                           jnp.asarray(cp), times, valid_len=vl))
+        via_valid = np.asarray(fwd(jnp.int32(t)))[:, :t]
+    assert float(np.abs(via_valid - exact).max()) < 1e-4
+
+
+def test_sample_accepts_valid_len():
+    params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(1), CFG)
+    t = 64
+    _, ph, cond = _inputs(t, seed=3)
+    out = A.sample(params, CFG, jax.random.PRNGKey(3), jnp.asarray(ph), jnp.asarray(cond),
+                   cond_scale=0.7, valid_len=jnp.int32(50))
+    assert out.shape == (1, t, 80)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_sample_accepts_key_mask():
     params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(1), CFG)
     t = 64

@@ -34,6 +34,35 @@ def test_flash_unaligned_length_masked_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_dynamic_valid_len_prefix_mask():
+    """valid_len (traced scalar) must reproduce attention over the prefix —
+    the bucketed-serving contract (one compile per bucket, any true length)."""
+    key = jax.random.PRNGKey(5)
+    b, h, t, dh = 1, 2, 512, 32
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.float32)
+    fn = jax.jit(lambda vl: flash_attention(q, k, v, valid_len=vl, block_q=256,
+                                            block_k=256, interpret=True))
+    with jax.default_matmul_precision("highest"):
+        for vl in (300, 256, 511):
+            ref = attend(q[:, :, :], k[:, :, :vl], v[:, :, :vl])
+            out = fn(jnp.int32(vl))
+            np.testing.assert_allclose(np.asarray(out[:, :, :vl]),
+                                       np.asarray(ref[:, :, :vl]), atol=2e-5,
+                                       err_msg=str(vl))
+
+
+def test_attend_dispatch_valid_len_off_tpu_builds_mask():
+    from covomix_tpu.ops.flash_attention import attend_flash_or_xla
+
+    key = jax.random.PRNGKey(6)
+    q = jax.random.normal(key, (2, 2, 64, 16))
+    out = attend_flash_or_xla(q, q, q, valid_len=jnp.int32(40))  # CPU -> einsum+mask
+    ref = attend(q, q, q, key_mask=jnp.broadcast_to(jnp.arange(64)[None] < 40, (2, 64)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
 def test_flash_dispatch_falls_back_off_tpu():
     from covomix_tpu.ops.flash_attention import attend_flash_or_xla
 
