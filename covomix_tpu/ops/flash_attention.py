@@ -28,13 +28,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Measured on v5e at the VoMix serving shape (B=8 CFG-doubled, H=16, T=912,
-# dh=64, bf16): 1024/1024/hb=2 -> 24.4 TFLOP/s vs 20.5 at 512/512 (the
-# [hb, bq, bk] f32 softmax block is 8 MB, inside the 16 MB VMEM scope; hb=4
-# at bq=1024 fails to compile). Larger sequences fall back to multiple kv
-# iterations of 1024. jax's built-in pallas flash kernel peaks at 22.7 on
-# this shape; the XLA einsum path runs 13.3.
+# dh=64, bf16): 21.1 TFLOP/s at 1024/512/hb=2 with the dynamic valid_len
+# mask (within noise of 1024/1024 and of the fully-static kernel's 20.8 on
+# the same day — single-dispatch tunnel timings wander a few TFLOP/s).
+# The K-block loop is UNROLLED at trace time: a lax.fori_loop body costs
+# ~17 TFLOP/s (loop-carried acc defeats Mosaic's cross-block scheduling),
+# and instantiating two bodies (masked + unmasked) overflows the 16 MB
+# scoped-VMEM stack at 1024-wide blocks. block_k=512 keeps the f32 [hb, bq,
+# bk] softmax block at 4 MB. jax's built-in pallas flash kernel measured
+# 22.7 on this shape (same-day basis as the old 24.4); the XLA einsum path
+# runs 13.3.
 DEFAULT_BLOCK_Q = 1024
-DEFAULT_BLOCK_K = 1024
+DEFAULT_BLOCK_K = 512
 DEFAULT_HEAD_BLOCK = 2
 
 
@@ -49,32 +54,36 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len
     valid_len = valid_ref[0]
 
     num_kb = kv_len // block_k
-    full_kb = valid_len // block_k  # blocks with no padding
-
-    def step(kb, carry, masked):
+    # The K-block loop is UNROLLED (python range) — a lax.fori_loop runs
+    # ~17 vs ~21 TFLOP/s (the loop-carried accumulator defeats Mosaic's
+    # cross-block software pipelining), and instantiating separate
+    # masked/unmasked loop bodies overflows the 16 MB scoped-VMEM stack at
+    # 1024-wide blocks. Masking is applied to p AFTER the exp (not -inf on
+    # s): columns >= valid_len contribute 0 to both the accumulator and the
+    # denominator, while m_new may include garbage key scores — harmless,
+    # any common max >= the true max leaves softmax exact. This also makes
+    # fully-masked blocks well-defined (no -inf - -inf NaN path).
+    def step(kb, carry):
         acc, m, l = carry
         k = k_ref[0, :, pl.ds(kb * block_k, block_k), :]
         # batched-over-heads [hb, bq, dh] x [hb, bk, dh]^T -> [hb, bq, bk] f32
         s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32) * scale
-        if masked:
-            cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (hb, block_q, block_k), 2)
-            s = jnp.where(cols < valid_len, s, -jnp.inf)
         v = v_ref[0, :, pl.ds(kb * block_k, block_k), :]
+        cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_k), 2)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        p = jnp.where(cols < valid_len, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
-    acc0 = jnp.zeros((hb, block_q, dh), jnp.float32)
-    m0 = jnp.full((hb, block_q, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((hb, block_q, 1), jnp.float32)
-    carry = jax.lax.fori_loop(0, full_kb, lambda kb, c: step(kb, c, False), (acc0, m0, l0))
-    # tail blocks containing padded columns
-    carry = jax.lax.fori_loop(full_kb, num_kb, lambda kb, c: step(kb, c, True), carry)
+    carry = (jnp.zeros((hb, block_q, dh), jnp.float32),
+             jnp.full((hb, block_q, 1), -jnp.inf, jnp.float32),
+             jnp.zeros((hb, block_q, 1), jnp.float32))
+    for kb in range(num_kb):
+        carry = step(kb, carry)
     acc, m, l = carry
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
