@@ -76,6 +76,64 @@ def _resblock1(p, x, kernel: int, dilations: Sequence[int]):
     return x
 
 
+def _mrf_packed(blocks, x, channels: int, kernels, dilations):
+    """All |K| ResBlock1 branches of one MRF stage evaluated as ONE conv per
+    (level, conv1/conv2) — 6 convs instead of 18.
+
+    The vocoder tail is per-op-bound on TPU, not FLOP-bound: a dense
+    [11, 93, 93] conv at the stage-4 shape costs the same wall time as a
+    [3, 31, 31] conv (~0.8 ms; conv wall is flat from B=1 to B=16), so
+    evaluating the three parallel branches as block-diagonal 3C-channel convs
+    trades free MXU FLOPs for 12 fewer op dispatches (measured 22.9 -> 15.9 ms
+    on the [4, 145952, 31] stage). Branch kernels (3/7/11) are zero-padded to
+    kmax taps — identical edge behavior since zero taps contribute nothing.
+    Requires every branch to share the same per-level dilation tuple (true for
+    config_covomix.json: [[1,3,5]]*3) and ResBlock1 structure (models.py:11-48).
+    Exact vs the unpacked path (tests/test_vocoder.py)."""
+    kmax = max(kernels)
+
+    def pad_taps(w):
+        k = w.shape[0]
+        lo = kmax // 2 - k // 2
+        return jnp.pad(w, ((lo, kmax - k - lo), (0, 0), (0, 0)))
+
+    def block_diag(ws):
+        out = jnp.zeros((kmax, 3 * channels, 3 * channels), ws[0].dtype)
+        for j, w in enumerate(ws):
+            out = out.at[:, j * channels:(j + 1) * channels, j * channels:(j + 1) * channels].set(w)
+        return out
+
+    def conv(h, w, b, d):
+        pad = get_padding(kmax, d)
+        return jax.lax.conv_general_dilated(
+            h, w.astype(h.dtype), (1,), [(pad, pad)], rhs_dilation=(d,),
+            dimension_numbers=("NWC", "WIO", "NWC")) + b.astype(h.dtype)
+
+    b_, t_ = x.shape[0], x.shape[1]
+    xb = jnp.concatenate([x, x, x], axis=-1)
+    for l in range(len(dilations[0])):
+        d = dilations[0][l]
+        w1s = [pad_taps(blocks[j]["convs1"][l]["w"]) for j in range(3)]
+        b1 = jnp.concatenate([blocks[j]["convs1"][l]["b"] for j in range(3)])
+        # level 0 reads the shared upsample output: a true dense C -> 3C conv
+        w1 = jnp.concatenate(w1s, axis=2) if l == 0 else block_diag(w1s)
+        h = conv(L.leaky_relu(x if l == 0 else xb, LRELU_SLOPE), w1, b1, d)
+        w2 = block_diag([pad_taps(blocks[j]["convs2"][l]["w"]) for j in range(3)])
+        b2 = jnp.concatenate([blocks[j]["convs2"][l]["b"] for j in range(3)])
+        h = conv(L.leaky_relu(h, LRELU_SLOPE), w2, b2, 1)
+        xb = xb + h
+    return xb.reshape(b_, t_, 3, channels).mean(2)
+
+
+def _can_pack_mrf(cfg: VocoderConfig, channels: int) -> bool:
+    """Packing pays only while 3*channels fits one 128-lane tile (measured: a
+    186-channel block-diagonal conv is FLOP-bound and slower than unpacked)."""
+    dil0 = cfg.resblock_dilation_sizes[0]
+    return (cfg.resblock == "1" and len(cfg.resblock_kernel_sizes) == 3
+            and 3 * channels <= 128
+            and all(tuple(dl) == tuple(dil0) for dl in cfg.resblock_dilation_sizes))
+
+
 def _resblock2_init(key, channels: int, kernel: int, dilations: Sequence[int]):
     keys = jax.random.split(key, len(dilations))
     return {"convs": [L.conv1d_init(keys[i], channels, channels, kernel) for i in range(len(dilations))]}
@@ -118,9 +176,14 @@ def generator(params, cfg: VocoderConfig, mel: jnp.ndarray, dtype=jnp.float32) -
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         x = L.leaky_relu(x, LRELU_SLOPE)
         x = L.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2, kernel=k)
+        channels = cfg.upsample_initial_channel // (2 ** (i + 1))
+        stage_blocks = params["resblocks"][i * n_kernels:(i + 1) * n_kernels]
+        if cfg.resblock == "1" and _can_pack_mrf(cfg, channels):
+            x = _mrf_packed(stage_blocks, x, channels, cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            continue
         acc = None
         for j in range(n_kernels):
-            y = rb(params["resblocks"][i * n_kernels + j], x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j])
+            y = rb(stage_blocks[j], x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j])
             acc = y if acc is None else acc + y
         x = acc / n_kernels
     x = L.leaky_relu(x)  # torch default slope 0.01 (models.py:112)

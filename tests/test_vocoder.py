@@ -127,3 +127,26 @@ def test_mpd_parity_vs_torch():
     with jax.default_matmul_precision("highest"):
         mine, fmaps = V._disc_p(p, jnp.asarray(x), period=3)
     np.testing.assert_allclose(np.asarray(mine)[0], ref.numpy()[0], atol=1e-4)
+
+
+def test_packed_mrf_matches_unpacked():
+    """The block-diagonal branch-packed MRF (stage channels where 3C <= 128,
+    i.e. the covomix config's final 31-channel stage) must be numerically
+    identical to the three separate ResBlock1 branches."""
+    cfg = V.VocoderConfig()
+    C = 31
+    key = jax.random.PRNGKey(7)
+    blocks = [V._resblock1_init(jax.random.fold_in(key, j), C, cfg.resblock_kernel_sizes[j],
+                                cfg.resblock_dilation_sizes[j]) for j in range(3)]
+    x = jax.random.normal(jax.random.fold_in(key, 9), (2, 300, C), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        acc = None
+        for j in range(3):
+            y = V._resblock1(blocks[j], x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j])
+            acc = y if acc is None else acc + y
+        ref = acc / 3
+        assert V._can_pack_mrf(cfg, C)
+        packed = V._mrf_packed(blocks, x, C, cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(ref), atol=1e-5)
+    # 62-channel stage must NOT pack (3C=186 is FLOP-bound territory)
+    assert not V._can_pack_mrf(cfg, 62)
