@@ -11,7 +11,7 @@ Re-implements covomix/vocoder/models.py and hifi-gan/models.py:
   * feature_loss x2, LSGAN discriminator/generator losses (hifi-gan/models.py:251-282).
 
 CoVoMix config (hifi-gan/config_covomix.json): upsample_rates [5,4,4,2] (160x),
-upsample_kernel_sizes [11,8,8,4], initial channel 500, resblock '1',
+upsample_kernel_sizes [8,8,4,4], initial channel 500, resblock '1',
 kernel_sizes [3,7,11], dilations [[1,3,5]]*3, 8 kHz output.
 
 TPU-first notes:
@@ -166,18 +166,45 @@ def init_generator(key, cfg: VocoderConfig):
     return p
 
 
-def generator(params, cfg: VocoderConfig, mel: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+def _can_fuse_tail(cfg: VocoderConfig) -> bool:
+    """The Pallas fused-tail kernel (ops/vocoder_tail.py) covers the final
+    [lrelu -> ConvTranspose1d(r=2, k=4, p=1) -> 3-branch ResBlock1 MRF ->
+    lrelu(0.01) -> conv_post(k=7) -> tanh] — the covomix config's tail."""
+    return (cfg.resblock == "1" and len(cfg.resblock_kernel_sizes) == 3
+            and cfg.upsample_rates[-1] == 2 and cfg.upsample_kernel_sizes[-1] == 4
+            and 4 * (cfg.upsample_initial_channel // (2 ** len(cfg.upsample_rates))) <= 128)
+
+
+def generator(params, cfg: VocoderConfig, mel: jnp.ndarray, dtype=jnp.float32,
+              fuse_tail: bool = None) -> jnp.ndarray:
     """mel [B, T, num_mels] -> waveform [B, T*total_upsample] in [-1, 1].
 
-    Mirrors Generator.forward (covomix/vocoder/models.py:100-116)."""
+    Mirrors Generator.forward (covomix/vocoder/models.py:100-116).
+
+    fuse_tail: None = auto (TPU + covomix-shaped config): run the last
+    upsample + MRF + conv_post + tanh as ONE Pallas kernel on a
+    space-to-depth packed layout (ops/vocoder_tail.py; 12.6 -> 4.6 ms on the
+    [4, 912-frame] serving shape — the tail is per-op-dispatch-bound, and
+    XLA cannot fuse across the 20 narrow-channel convs)."""
     x = L.conv1d(params["conv_pre"], mel.astype(dtype), padding=3)
     n_kernels = len(cfg.resblock_kernel_sizes)
     rb = _resblock1 if cfg.resblock == "1" else _resblock2
+    n_stages = len(cfg.upsample_rates)
+    if fuse_tail is None:
+        fuse_tail = jax.devices()[0].platform == "tpu" and _can_fuse_tail(cfg)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
-        x = L.leaky_relu(x, LRELU_SLOPE)
-        x = L.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2, kernel=k)
         channels = cfg.upsample_initial_channel // (2 ** (i + 1))
         stage_blocks = params["resblocks"][i * n_kernels:(i + 1) * n_kernels]
+        if fuse_tail and i == n_stages - 1 and x.shape[1] % 2 == 0:
+            from covomix_tpu.ops import vocoder_tail as VT
+
+            Wm, Bm, plan = VT.pack_tail_weights(
+                params["ups"][i], stage_blocks, params["conv_post"], channels,
+                cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes, dtype=dtype)
+            return VT.fused_tail(x, Wm, Bm, plan, channels=channels,
+                                 interpret=(fuse_tail == "interpret"))
+        x = L.leaky_relu(x, LRELU_SLOPE)
+        x = L.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2, kernel=k)
         if cfg.resblock == "1" and _can_pack_mrf(cfg, channels):
             x = _mrf_packed(stage_blocks, x, channels, cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
             continue
