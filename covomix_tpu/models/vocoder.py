@@ -58,6 +58,16 @@ def get_padding(kernel: int, dilation: int = 1) -> int:
     return (kernel * dilation - dilation) // 2
 
 
+def output_length(cfg: VocoderConfig, frames: int) -> int:
+    """Waveform samples produced for `frames` mel frames — the torch
+    ConvTranspose1d length chain ((T-1)*u - 2p + k per stage; conv_pre/post
+    and MRF are length-preserving). covomix config: 160*T + 32."""
+    t = frames
+    for u, k in zip(cfg.upsample_rates, cfg.upsample_kernel_sizes):
+        t = (t - 1) * u - 2 * ((k - u) // 2) + k
+    return t
+
+
 def _resblock1_init(key, channels: int, kernel: int, dilations: Sequence[int]):
     keys = jax.random.split(key, 2 * len(dilations))
     return {

@@ -152,7 +152,9 @@ def make_gan_step(voc_cfg: V.VocoderConfig, mel_cfg: MelConfig, mel_loss_cfg: Me
 
     def gen_fwd(gen_params, mel, out_len):
         p = wn_fold(gen_params) if cfg.weight_norm else gen_params
-        y = V.generator(p, voc_cfg, mel, dtype=dtype)
+        # fuse_tail=False: training differentiates through the generator and
+        # the fused Pallas tail kernel (inference-only) defines no VJP
+        y = V.generator(p, voc_cfg, mel, dtype=dtype, fuse_tail=False)
         # covomix numerology: T frames -> 160T+32 samples; the reference picks
         # segment_size 8032 = 160*50+32 so lengths line up exactly
         # (hifi-gan/config_covomix.json). Trim/pad for other segment sizes.

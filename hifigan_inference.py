@@ -27,6 +27,10 @@ def main():
     p.add_argument("--input_mels_dir", default=None)
     p.add_argument("--output_dir", default="generated_files")
     p.add_argument("--metrics_csv", default=None)
+    p.add_argument("--fuse_tail", action="store_true",
+                   help="use the fused Pallas tail kernel (fastest steady-state "
+                        "throughput, but a long Mosaic first-compile per mel-length "
+                        "bucket; worthwhile for large batch jobs, not one-offs)")
     args = p.parse_args()
     assert args.input_wavs_dir or args.input_mels_dir
 
@@ -67,7 +71,21 @@ def main():
     sr = voc_cfg.sampling_rate
     mel_cfg = MelConfig(sr, int(c.get("n_fft", 480)), voc_cfg.num_mels, int(c.get("hop_size", 160)),
                         int(c.get("win_size", 480)), float(c.get("fmin", 0)), float(c.get("fmax", sr / 2)))
-    voc_fn = jax.jit(functools.partial(V.generator, cfg=voc_cfg))
+    _voc_fn = jax.jit(functools.partial(V.generator, cfg=voc_cfg,
+                                        fuse_tail=True if args.fuse_tail else False))
+    MEL_PAD = -15.0  # training-time pad value (data_module.py:846)
+
+    def voc_fn(params, mel):
+        """Vocode with mel frames bucketed to multiples of 64 so repeated
+        calls reuse one compiled executable per bucket (each new length
+        otherwise recompiles — expensive with the fused Pallas tail). Output
+        is trimmed to the exact-length ConvTranspose chain result; pad frames
+        are silence (mel floor), matching vocoding trailing silence."""
+        t = mel.shape[1]
+        tb = -(-t // 64) * 64
+        if tb != t:
+            mel = jnp.pad(mel, ((0, 0), (0, tb - t), (0, 0)), constant_values=MEL_PAD)
+        return _voc_fn(params, mel=mel)[:, : V.output_length(voc_cfg, t)]
 
     os.makedirs(args.output_dir, exist_ok=True)
     rows = []

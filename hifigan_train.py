@@ -163,7 +163,9 @@ def main():
         from covomix_tpu.models import vocoder as Vm
 
         gen = wn_fold(state.gen_params) if gan_cfg.weight_norm else state.gen_params
-        voc = jax.jit(functools.partial(Vm.generator, cfg=voc_cfg))
+        # fuse_tail=False: validation runs once per interval on one shape;
+        # not worth the fused tail kernel's long first-compile mid-training
+        voc = jax.jit(functools.partial(Vm.generator, cfg=voc_cfg, fuse_tail=False))
         errs = []
         for vi, f in enumerate(val_files):
             wav, _ = load_wav(f, sr=sr)

@@ -80,6 +80,7 @@ def test_output_length_formula():
     mel = jnp.zeros((1, 10, 80))
     wav = jax.jit(functools.partial(V.generator, cfg=cfg))(params, mel=mel)
     assert wav.shape == (1, 10 * 160 + 32)
+    assert V.output_length(cfg, 10) == 10 * 160 + 32
     assert np.abs(np.asarray(wav)).max() <= 1.0  # tanh bounded
 
 
