@@ -101,11 +101,27 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     serving (pipeline.flow_sample). It is a scalar-prefetch operand, so one
     compiled kernel serves every true length within a bucket. Rows beyond
     valid_len still attend the valid prefix (garbage-in garbage-out; callers
-    trim), so valid rows match exact-length attention."""
+    trim), so valid rows match exact-length attention.
+
+    Differentiable: the backward pass recomputes attention via the XLA
+    einsum path (custom_vjp) — the training-time memory/computation profile
+    the reference has (torch SDPA training materializes probabilities in
+    backward too), while the forward keeps the flash kernel's speed. The
+    acoustic training crop (800-1600 frames) hits this path on TPU."""
+    b, h, t, dh = q.shape
+    if valid_len is None:
+        valid_len = t
+    valid_arr = jnp.asarray(valid_len, jnp.int32).reshape(1)
+    cfg = (block_q, block_k, head_block, interpret)
+    return _flash_core(cfg, valid_arr, q, k, v)
+
+
+def _flash_forward(cfg, valid_arr, q, k, v):
+    block_q, block_k, head_block, interpret = cfg
     b, h, t, dh = q.shape
     if q.dtype.itemsize >= 4:
         # f32 q/k/v doubles the VMEM footprint of the in-kernel blocks; the
-        # 16 MB scoped-vmem limit fits 1024x1024 blocks only for <=2-byte
+        # 16 MB scoped-vmem limit fits 1024-wide blocks only for <=2-byte
         # dtypes (bf16 serving path)
         block_q, block_k = min(block_q, 512), min(block_k, 512)
     block_q = min(block_q, _round_up(t, 128))
@@ -119,9 +135,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
     scale = dh ** -0.5
-    if valid_len is None:
-        valid_len = t
-    valid_arr = jnp.asarray(valid_len, jnp.int32).reshape(1)
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=tp, scale=scale)
     grid = (b, h // head_block, tp // block_q)
@@ -147,6 +160,35 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=interpret,
     )(valid_arr, q, k, v)
     return out[:, :, :t] if tp != t else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_core(cfg, valid_arr, q, k, v):
+    return _flash_forward(cfg, valid_arr, q, k, v)
+
+
+def _flash_core_fwd(cfg, valid_arr, q, k, v):
+    return _flash_forward(cfg, valid_arr, q, k, v), (valid_arr, q, k, v)
+
+
+def _flash_core_bwd(cfg, res, g):
+    from covomix_tpu.models.layers import attend
+
+    valid_arr, q, k, v = res
+    t = q.shape[-2]
+    key_mask = jnp.broadcast_to(jnp.arange(t)[None, :] < valid_arr[0], (q.shape[0], t))
+
+    def f(q, k, v):
+        return attend(q, k, v, key_mask=key_mask)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    import numpy as _np
+
+    return _np.zeros(valid_arr.shape, jax.dtypes.float0), dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def _round_up(n: int, m: int) -> int:

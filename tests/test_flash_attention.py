@@ -71,3 +71,46 @@ def test_flash_dispatch_falls_back_off_tpu():
     out = attend_flash_or_xla(q, q, q)  # T < threshold and CPU -> einsum path
     ref = attend(q, q, q)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_flash_attention_gradients_match_einsum():
+    """flash_attention is differentiable (custom_vjp: einsum-recompute
+    backward) — the acoustic training crop (T >= 512) hits this on TPU."""
+    key = jax.random.PRNGKey(9)
+    b, h, t, dh = 1, 2, 256, 16
+    q = jax.random.normal(key, (b, h, t, dh))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh))
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, block_q=128, block_k=128, interpret=True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (attend(q, k, v) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3)
+
+
+def test_flash_attention_grad_with_valid_len():
+    key = jax.random.PRNGKey(10)
+    b, h, t, dh = 1, 2, 256, 16
+    q = jax.random.normal(key, (b, h, t, dh))
+    vl = 200
+
+    def loss_flash(q):
+        o = flash_attention(q, q, q, valid_len=jnp.int32(vl), block_q=128, block_k=128,
+                            interpret=True)
+        return (o[:, :, :vl] ** 2).sum()
+
+    def loss_ref(q):
+        km = jnp.broadcast_to(jnp.arange(t)[None] < vl, (b, t))
+        return (attend(q, q, q, key_mask=km)[:, :, :vl] ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        gf = jax.grad(loss_flash)(q)
+        gr = jax.grad(loss_ref)(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-3, rtol=1e-3)
