@@ -42,24 +42,49 @@ DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 512
 DEFAULT_HEAD_BLOCK = 2
 
+# K/Q-block loops unroll fully up to this many blocks (best Mosaic
+# scheduling, ~21 vs ~17 TFLOP/s); beyond it they run as a fori_loop over
+# unrolled pairs — full unrolling at 4+ blocks interleaves enough f32
+# [hb, bq, bk] temporaries to overflow the 16 MB scoped-VMEM stack
+# (23.9 MB at tp=2048 in the backward).
+MAX_UNROLL = 2
 
-def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int,
+
+def _blocked_loop(num_blocks: int, body, carry):
+    if num_blocks <= MAX_UNROLL:
+        for i in range(num_blocks):
+            carry = body(i, carry)
+        return carry
+    main = (num_blocks // MAX_UNROLL) * MAX_UNROLL
+
+    def chunk(ci, c):
+        for j in range(MAX_UNROLL):
+            c = body(ci * MAX_UNROLL + j, c)
+        return c
+
+    carry = jax.lax.fori_loop(0, num_blocks // MAX_UNROLL, chunk, carry)
+    for i in range(main, num_blocks):
+        carry = body(i, carry)
+    return carry
+
+
+def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int, kv_len: int,
                   scale: float):
     # valid_ref: SMEM scalar-prefetch [1] int32 — keys >= valid_len are
     # padding and masked out (dynamic, so bucketed serving reuses ONE
     # compiled kernel across true lengths). q_ref [1, hb, block_q, dh];
     # k_ref/v_ref [1, hb, kv_len, dh]; o_ref [1, hb, block_q, dh].
+    # Optional lse_ref [1, hb, block_q]: per-row logsumexp (m + log l),
+    # saved for the training backward pass.
     _, hb, block_q, dh = q_ref.shape
     q = q_ref[0]
     valid_len = valid_ref[0]
 
     num_kb = kv_len // block_k
-    # The K-block loop is UNROLLED (python range) — a lax.fori_loop runs
-    # ~17 vs ~21 TFLOP/s (the loop-carried accumulator defeats Mosaic's
-    # cross-block software pipelining), and instantiating separate
-    # masked/unmasked loop bodies overflows the 16 MB scoped-VMEM stack at
-    # 1024-wide blocks. Masking is applied to p AFTER the exp (not -inf on
-    # s): columns >= valid_len contribute 0 to both the accumulator and the
+    # The K-block loop unrolls via _blocked_loop (see MAX_UNROLL — full
+    # unrolling beats fori_loop ~21 vs ~17 TFLOP/s but overflows VMEM past 2
+    # blocks). Masking is applied to p AFTER the exp (not -inf on s):
+    # columns >= valid_len contribute 0 to both the accumulator and the
     # denominator, while m_new may include garbage key scores — harmless,
     # any common max >= the true max leaves softmax exact. This also makes
     # fully-masked blocks well-defined (no -inf - -inf NaN path).
@@ -82,10 +107,12 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len
     carry = (jnp.zeros((hb, block_q, dh), jnp.float32),
              jnp.full((hb, block_q, 1), -jnp.inf, jnp.float32),
              jnp.zeros((hb, block_q, 1), jnp.float32))
-    for kb in range(num_kb):
-        carry = step(kb, carry)
-    acc, m, l = carry
+    acc, m, l = _blocked_loop(num_kb, step, carry)
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if lse_ref:
+        # lse stored [1, hb, block_q, 1] (trailing singleton keeps the block
+        # shape on the (8, 128)-tileable path: lane dim == full array dim)
+        lse_ref[0][0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -116,18 +143,28 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return _flash_core(cfg, valid_arr, q, k, v)
 
 
-def _flash_forward(cfg, valid_arr, q, k, v):
+def _resolve_blocks(cfg, t, h, dtype):
     block_q, block_k, head_block, interpret = cfg
-    b, h, t, dh = q.shape
-    if q.dtype.itemsize >= 4:
+    if dtype.itemsize >= 4:
         # f32 q/k/v doubles the VMEM footprint of the in-kernel blocks; the
         # 16 MB scoped-vmem limit fits 1024-wide blocks only for <=2-byte
         # dtypes (bf16 serving path)
         block_q, block_k = min(block_q, 512), min(block_k, 512)
+    if t > 1024:
+        # past 2 K-blocks the loop runs chunked (MAX_UNROLL) with 2 in-flight
+        # [hb, bq, bk] f32 softmax temporaries; 1024-wide q blocks then
+        # overflow the 16 MB scoped-VMEM stack (20.1 MB at tp=2048)
+        block_q = min(block_q, 512)
     block_q = min(block_q, _round_up(t, 128))
     block_k = min(block_k, _round_up(t, 128))
     while h % head_block:
         head_block -= 1
+    return block_q, block_k, head_block, interpret
+
+
+def _flash_forward(cfg, valid_arr, q, k, v, with_lse: bool = False):
+    b, h, t, dh = q.shape
+    block_q, block_k, head_block, interpret = _resolve_blocks(cfg, t, h, q.dtype)
     tp = _round_up(t, max(block_q, block_k))
     if tp != t:
         pad = [(0, 0), (0, 0), (0, tp - t), (0, 0)]
@@ -139,9 +176,16 @@ def _flash_forward(cfg, valid_arr, q, k, v):
     kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=tp, scale=scale)
     grid = (b, h // head_block, tp // block_q)
 
-    out = pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((b, h, tp, dh), q.dtype)
+    out_spec = pl.BlockSpec((1, head_block, block_q, dh), lambda bb, hh, i, *_: (bb, hh, i, 0), memory_space=pltpu.VMEM)
+    if with_lse:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((b, h, tp, 1), jnp.float32))
+        out_spec = (out_spec,
+                    pl.BlockSpec((1, head_block, block_q, 1), lambda bb, hh, i, *_: (bb, hh, i, 0), memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, tp, dh), q.dtype),
+        out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -150,7 +194,7 @@ def _flash_forward(cfg, valid_arr, q, k, v):
                 pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i, *_: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i, *_: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, head_block, block_q, dh), lambda bb, hh, i, *_: (bb, hh, i, 0), memory_space=pltpu.VMEM),
+            out_specs=out_spec,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * tp * tp * dh,
@@ -159,7 +203,158 @@ def _flash_forward(cfg, valid_arr, q, k, v):
         ),
         interpret=interpret,
     )(valid_arr, q, k, v)
-    return out[:, :, :t] if tp != t else out
+    if with_lse:
+        out, lse = res
+        return (out[:, :, :t], lse[:, :, :t]) if tp != t else (out, lse)  # lse [b, h, t, 1]
+    return res[:, :, :t] if tp != t else res
+
+
+# ---------------------------------------------------------------------------
+# backward kernels (training): standard flash-attention backward. With the
+# saved per-row logsumexp L the probabilities re-materialize blockwise as
+# p = exp(s - L); dV = p^T dO; dS = p * (dO V^T - D) with D = rowsum(dO * O);
+# dQ = dS K * scale; dK = dS^T Q * scale. No [T, T] intermediate ever lands
+# in HBM — the einsum path's f32 probability matrix (e.g. [8,16,800,800] =
+# 327 MB per layer at the acoustic recipe crop) is what this removes.
+
+
+def _flash_bwd_dq_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, *, block_k: int, kv_len: int, scale: float):
+    _, hb, block_q, dh = q_ref.shape
+    q = q_ref[0]
+    do = do_ref[0]
+    # lse/delta ride as [b, h/hb, hb, t] so each grid step's block is its own
+    # head pair statically (a [.., t, 1] layout would lane-pad 128x in HBM;
+    # slicing a dense [b, h, t] at program_id*hb fails Mosaic's 8-multiple
+    # sublane-alignment proof)
+    lse = lse_ref[0, 0][..., None]        # [hb, bq, 1]
+    delta = delta_ref[0, 0][..., None]    # [hb, bq, 1]
+    valid_len = valid_ref[0]
+
+    num_kb = kv_len // block_k
+
+    def step(kb, dq):
+        k = k_ref[0, :, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, :, pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_k), 2)
+        p = jnp.where(cols < valid_len, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32)
+
+    dq = _blocked_loop(num_kb, step, jnp.zeros((hb, block_q, dh), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, block_q: int, q_len: int, scale: float):
+    # grid over KV blocks: k_ref/v_ref [1, hb, block_k, dh]; q/do/lse/delta
+    # are full-length.
+    _, hb, block_k, dh = k_ref.shape
+    k = k_ref[0]
+    v = v_ref[0]
+    valid_len = valid_ref[0]
+    kb0 = pl.program_id(2) * block_k
+    rows = kb0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k, 1), 1)
+    key_live = rows < valid_len        # this block's key positions
+    # lse/delta blocks are [1, 1, hb, q_len] — this instance's head pair;
+    # the q-block slice rides the (128-multiple-provable) lane dim
+    num_qb = q_len // block_q
+
+    def step(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, :, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, :, pl.ds(qb * block_q, block_q), :]
+        lse = lse_ref[0, 0, :, pl.ds(qb * block_q, block_q)][:, None, :]
+        delta = delta_ref[0, 0, :, pl.ds(qb * block_q, block_q)][:, None, :]
+        # s^T [hb, bk, bq]
+        st = jax.lax.dot_general(k, q, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        pt = jnp.where(key_live, jnp.exp(st - lse), 0.0)
+        dv_new = dv + jax.lax.dot_general(pt.astype(do.dtype), do, (((2,), (1,)), ((0,), (0,))),
+                                          preferred_element_type=jnp.float32)
+        dpt = jax.lax.dot_general(v, do, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dst = pt * (dpt - delta)
+        dk_new = dk + jax.lax.dot_general(dst.astype(q.dtype), q, (((2,), (1,)), ((0,), (0,))),
+                                          preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    dk, dv = _blocked_loop(num_qb, step, (jnp.zeros((hb, block_k, dh), jnp.float32),
+                                          jnp.zeros((hb, block_k, dh), jnp.float32)))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(cfg, valid_arr, q, k, v, out, lse, g):
+    b, h, t, dh = q.shape
+    # the backward keeps ~4 f32 [hb, bq, bk] intermediates live (s/p, dp,
+    # ds) x MAX_UNROLL in-flight: 512-wide blocks fit the 16 MB VMEM scope
+    # up to 2 K-blocks; past that (chunked loop + full-length q/do resident
+    # in the dkv kernel) drop to 256
+    cap = 512 if t <= 1024 else 256
+    block_q, block_k, head_block, interpret = _resolve_blocks(
+        (min(cfg[0], cap), min(cfg[1], cap), cfg[2], cfg[3]), t, h, q.dtype)
+    tp = _round_up(t, max(block_q, block_k))
+    if tp != t:
+        pad = [(0, 0), (0, 0), (0, tp - t), (0, 0)]
+        q, k, v, g = (jnp.pad(x, pad) for x in (q, k, v, g))
+        out = jnp.pad(out, pad)
+        lse = jnp.pad(lse, [(0, 0), (0, 0), (0, tp - t)])
+    scale = dh ** -0.5
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [b, h, tp]
+    # [b, h/hb, hb, tp]: each grid step's lse/delta block is statically its
+    # own head pair (see kernel comments)
+    lse = lse.reshape(b, h // head_block, head_block, tp)
+    delta = delta.reshape(b, h // head_block, head_block, tp)
+
+    blk4 = lambda bs: pl.BlockSpec((1, head_block, bs, dh), lambda bb, hh, i, *_: (bb, hh, i, 0), memory_space=pltpu.VMEM)
+    full4 = pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i, *_: (bb, hh, 0, 0), memory_space=pltpu.VMEM)
+    blk3 = lambda bs: pl.BlockSpec((1, 1, head_block, bs), lambda bb, hh, i, *_: (bb, hh, 0, i), memory_space=pltpu.VMEM)
+    full3 = pl.BlockSpec((1, 1, head_block, tp), lambda bb, hh, i, *_: (bb, hh, 0, 0), memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, kv_len=tp, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, dh), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // head_block, tp // block_q),
+            in_specs=[blk4(block_q), full4, full4, blk4(block_q), blk3(block_q), blk3(block_q)],
+            out_specs=blk4(block_q),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * tp * tp * dh,
+            bytes_accessed=6 * b * h * tp * dh * q.dtype.itemsize,
+            transcendentals=b * h * tp * tp,
+        ),
+        interpret=interpret,
+    )(valid_arr, q, k, v, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, q_len=tp, scale=scale),
+        out_shape=(jax.ShapeDtypeStruct((b, h, tp, dh), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, tp, dh), q.dtype)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // head_block, tp // block_k),
+            in_specs=[full4, blk4(block_k), blk4(block_k), full4, full3, full3],
+            out_specs=(blk4(block_k), blk4(block_k)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * tp * tp * dh,
+            bytes_accessed=6 * b * h * tp * dh * q.dtype.itemsize,
+            transcendentals=b * h * tp * tp,
+        ),
+        interpret=interpret,
+    )(valid_arr, q, k, v, g, lse, delta)
+
+    if tp != t:
+        dq, dk, dv = dq[:, :, :t], dk[:, :, :t], dv[:, :, :t]
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -167,24 +362,33 @@ def _flash_core(cfg, valid_arr, q, k, v):
     return _flash_forward(cfg, valid_arr, q, k, v)
 
 
+def _pack_heads(x):
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def _unpack_heads(x, h):
+    b, t, hdh = x.shape
+    return x.reshape(b, t, h, hdh // h).transpose(0, 2, 1, 3)
+
+
 def _flash_core_fwd(cfg, valid_arr, q, k, v):
-    return _flash_forward(cfg, valid_arr, q, k, v), (valid_arr, q, k, v)
+    out, lse = _flash_forward(cfg, valid_arr, q, k, v, with_lse=True)
+    # Residuals are stored head-MERGED [b, t, h*dh] and lse dense [b, h, t]:
+    # XLA:TPU lane-pads the trailing dim to 128 in HBM, so [.., dh=64]
+    # tensors held across the whole backward would cost 2x (and a [.., 1]
+    # lse 128x — 536 MB per layer at the recipe-max batch).
+    return out, (valid_arr, _pack_heads(q), _pack_heads(k), _pack_heads(v),
+                 _pack_heads(out), lse[..., 0])
 
 
 def _flash_core_bwd(cfg, res, g):
-    from covomix_tpu.models.layers import attend
-
-    valid_arr, q, k, v = res
-    t = q.shape[-2]
-    key_mask = jnp.broadcast_to(jnp.arange(t)[None, :] < valid_arr[0], (q.shape[0], t))
-
-    def f(q, k, v):
-        return attend(q, k, v, key_mask=key_mask)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    dq, dk, dv = vjp(g)
     import numpy as _np
 
+    valid_arr, qp, kp, vp, outp, lse = res
+    h = lse.shape[1]
+    dq, dk, dv = _flash_backward(cfg, valid_arr, _unpack_heads(qp, h), _unpack_heads(kp, h),
+                                 _unpack_heads(vp, h), _unpack_heads(outp, h), lse, g)
     return _np.zeros(valid_arr.shape, jax.dtypes.float0), dq, dk, dv
 
 

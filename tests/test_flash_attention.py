@@ -114,3 +114,22 @@ def test_flash_attention_grad_with_valid_len():
         gf = jax.grad(loss_flash)(q)
         gr = jax.grad(loss_ref)(q)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-3, rtol=1e-3)
+
+
+def test_flash_long_sequence_chunked_loop_fwd_bwd():
+    """T large enough that the block loops exceed MAX_UNROLL and take the
+    chunked-fori path (plus an odd tail block) — forward and backward."""
+    key = jax.random.PRNGKey(11)
+    b, h, t, dh = 1, 2, 640, 16  # 5 blocks of 128
+    q = jax.random.normal(key, (b, h, t, dh))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh))
+    with jax.default_matmul_precision("highest"):
+        out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        ref = attend(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        gf = jax.grad(lambda q: (flash_attention(q, k, v, block_q=128, block_k=128,
+                                                 interpret=True) ** 2).sum())(q)
+        gr = jax.grad(lambda q: (attend(q, k, v) ** 2).sum())(q)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-3, rtol=1e-3)
