@@ -133,3 +133,39 @@ def test_flash_long_sequence_chunked_loop_fwd_bwd():
                                                  interpret=True) ** 2).sum())(q)
         gr = jax.grad(lambda q: (attend(q, k, v) ** 2).sum())(q)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-3, rtol=1e-3)
+
+
+def test_acoustic_loss_grad_through_flash_kernel(monkeypatch):
+    """End-to-end: the acoustic OT-CFM training loss differentiated with
+    attention routed through the Pallas kernel (interpret mode) must match
+    the einsum path — the TPU training configuration (crop >= 512) the CPU
+    dispatch otherwise never exercises."""
+    import covomix_tpu.models.acoustic as A
+    import covomix_tpu.ops.flash_attention as FA
+    from covomix_tpu.train.loop import acoustic_loss_fn
+
+    cfg = A.AcousticConfig(dim_in=80, dim=32, depth=2, heads=2, dim_head=16,
+                           dim_phoneme_emb=16, num_phoneme_tokens=30)
+    params = A.init(jax.random.PRNGKey(0), cfg)
+    b, t = 2, 128
+    key = jax.random.PRNGKey(1)
+    batch = {"x": jax.random.normal(key, (b, t, 80)),   # VoSingle: cond = x
+             "phonemes": jax.random.randint(key, (b, t), 0, 30),
+             "mask": jnp.ones((b, t), bool)}
+    loss_fn = acoustic_loss_fn(cfg, cond_drop_prob=0.0)
+
+    def flash_dispatch(q, k, v, *, key_mask=None, valid_len=None, causal=False, **kw):
+        if key_mask is None and not causal:
+            return flash_attention(q, k, v, valid_len=valid_len, block_q=128,
+                                   block_k=128, interpret=True)
+        return attend(q, k, v, key_mask=key_mask, causal=causal)
+
+    with jax.default_matmul_precision("highest"):
+        ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params, batch, jax.random.PRNGKey(2))
+        monkeypatch.setattr(A, "attend_flash_or_xla", flash_dispatch)
+        fl_loss, fl_grads = jax.value_and_grad(loss_fn)(params, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(fl_loss), float(ref_loss), rtol=1e-4)
+    flat_r = jax.tree_util.tree_leaves(ref_grads)
+    flat_f = jax.tree_util.tree_leaves(fl_grads)
+    for a, b_ in zip(flat_f, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3, rtol=2e-3)
