@@ -68,9 +68,19 @@ def main():
     def sync(x):
         np.asarray(x[:1].ravel()[:8])  # axon tunnel: block_until_ready doesn't block
 
-    # warmup / compile all three stages
-    gen = gen_fn(t2s_params, key=jax.random.PRNGKey(10), source_ids=text_ids)
-    sync(gen.tokens)
+    # warmup / compile all three stages. The axon tunnel sporadically throws
+    # FAILED_PRECONDITION / UNAVAILABLE on the first device use; retry.
+    gen = None
+    for attempt in range(3):
+        try:
+            gen = gen_fn(t2s_params, key=jax.random.PRNGKey(10), source_ids=text_ids)
+            sync(gen.tokens)
+            break
+        except Exception as e:
+            if attempt == 2:
+                raise
+            print(f"# warmup attempt {attempt} failed ({str(e)[:120]}); retrying", file=sys.stderr)
+            time.sleep(20)
     mel = sample_fn(ac_params, key=jax.random.PRNGKey(11), phoneme_ids=ph, cond=cond)
     sync(mel)
     wav = voc_fn(voc_params, mel=mel)
