@@ -205,6 +205,16 @@ def generator(params, cfg: VocoderConfig, mel: jnp.ndarray, dtype=jnp.float32,
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         channels = cfg.upsample_initial_channel // (2 ** (i + 1))
         stage_blocks = params["resblocks"][i * n_kernels:(i + 1) * n_kernels]
+        if fuse_tail and i == n_stages - 2 and u == 4 and k == 4 and 4 * channels <= 256:
+            # rate-4 k=4 p=0 upsample + MRF fused (phase-separable upsample)
+            from covomix_tpu.ops import vocoder_tail as VT
+
+            Wup, Wm, Bm, plan = VT.pack_stage_weights(
+                params["ups"][i], stage_blocks, channels, x.shape[-1],
+                cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes, dtype=dtype)
+            x = VT.fused_stage(x, Wup, Wm, Bm, plan, channels=channels,
+                               interpret=(fuse_tail == "interpret"))
+            continue
         if fuse_tail and i == n_stages - 1 and x.shape[1] % 2 == 0:
             from covomix_tpu.ops import vocoder_tail as VT
 

@@ -289,3 +289,158 @@ def fused_tail(x2: jnp.ndarray, Wm: jnp.ndarray, Bm: jnp.ndarray, plan,
         interpret=interpret,
     )(xp, Wm, Bm)
     return out.reshape(B, n * tbu * F)[:, :2 * T2]
+
+
+# ---------------------------------------------------------------------------
+# stage-3 fused kernel: ConvTranspose1d(rate 4, kernel 4, padding 0) + the
+# 62-channel 3-branch MRF in one pass. Same machinery as the tail kernel but
+# on a 4-frames x 62-ch = 248-lane packed layout with the x1 frame index as
+# the common timeline; rate-4 k=4 p=0 upsampling is phase-separable
+# (y[4t+j] = w[j] x1[t], a single tap group), so there is no upsample halo.
+# Output is the raw MRF state [B, T1*4, 62] — exactly fused_tail's input.
+
+
+def _stage_up_taps():
+    """ConvTranspose1d(stride 4, kernel 4, padding 0): y[o] = sum_tau w[tau]
+    x[(o - tau)/4 | 4 divides] -> y[4t + j] = w[j] x1[t]."""
+    return [(0, [(0, j, j) for j in range(F)])]
+
+
+def pack_stage_weights(up_p, resblocks, channels: int, in_channels: int,
+                       kernels=(3, 7, 11), dilations=((1, 3, 5),) * 3,
+                       dtype=jnp.bfloat16):
+    """up_p: {'w' [4, in_channels, C], 'b' [C]}; resblocks as in
+    pack_tail_weights. Returns (Wup [1, in_lanes, lanes], Wm [NT, lanes,
+    lanes], Bm [1+18, lanes], plan) with lanes = 128-padded F*C."""
+    C = channels
+    lanes = F * C
+    lp = ((lanes + 127) // 128) * 128
+    in_lp = ((in_channels + 127) // 128) * 128
+
+    up = jnp.zeros((in_lp, lp), jnp.float32)
+    for g, entries in _stage_up_taps():
+        for (r, j, tau) in entries:
+            up = up.at[:in_channels, j * C:(j + 1) * C].set(up_p["w"][tau].astype(jnp.float32))
+    biases = [jnp.pad(jnp.tile(up_p["b"].astype(jnp.float32), F), (0, lp - lanes))]
+
+    plan = []
+    mats = []
+    for j, k in enumerate(kernels):
+        for l, d in enumerate(dilations[j]):
+            for which, dd in (("convs1", d), ("convs2", 1)):
+                p = resblocks[j][which][l]
+                entry = []
+                for g, entries in _conv_taps(k, dd):
+                    m = jnp.zeros((lp, lp), jnp.float32)
+                    for (r, jph, tau) in entries:
+                        m = m.at[r * C:(r + 1) * C, jph * C:(jph + 1) * C].set(
+                            p["w"][tau].astype(jnp.float32))
+                    entry.append((g, len(mats)))
+                    mats.append(m)
+                plan.append((f"b{j}l{l}s{1 if which == 'convs1' else 2}", entry))
+                biases.append(jnp.pad(jnp.tile(p["b"].astype(jnp.float32), F), (0, lp - lanes)))
+    Wup = jnp.stack([up]).astype(dtype)
+    Wm = jnp.stack(mats).astype(dtype)
+    Bm = jnp.stack(biases).astype(jnp.float32)
+    return Wup, Wm, Bm, plan
+
+
+def _stage_kernel(x_hbm, wup_ref, w_ref, b_ref, o_ref, scratch, sem, *,
+                  plan, tbu: int, halo: int, total_units: int, channels: int):
+    E = tbu + 2 * halo
+    lanes = w_ref.shape[1]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * tbu, E), :], scratch, sem)
+    dma.start()
+    dma.wait()
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)
+    abs_u = i * tbu - halo + row
+    valid = jnp.logical_and(abs_u >= 0, abs_u < total_units)
+
+    def tapconv(v, conv_entry, bias_row):
+        gs = [g for g, _ in conv_entry]
+        lo, hi = max(0, -min(gs)), max(0, max(gs))
+        vp = jnp.concatenate(
+            [jnp.zeros((lo, lanes), v.dtype), v, jnp.zeros((hi, lanes), v.dtype)], axis=0) \
+            if (lo or hi) else v
+        acc = None
+        for g, slot in conv_entry:
+            y = jax.lax.dot_general(vp[g + lo:g + lo + E], w_ref[slot],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+        acc = acc + b_ref[bias_row]
+        return jnp.where(valid, acc, 0.0)
+
+    def lrelu(v, slope):
+        return jnp.where(v >= 0, v, v * slope)
+
+    x = scratch[...]
+    x = jnp.where(valid, x, jnp.zeros_like(x))
+    # up2: single-tap phase-separable conv_transpose from the x1 lanes
+    up = jax.lax.dot_general(lrelu(x.astype(jnp.float32), LRELU).astype(x.dtype),
+                             wup_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    up = jnp.where(valid, up + b_ref[0], 0.0).astype(x.dtype)
+
+    plan_d = dict(plan)
+    bias_row = 1
+    branch_sum = None
+    for j in range(3):
+        state = up
+        for l in range(3):
+            h = tapconv(lrelu(state.astype(jnp.float32), LRELU).astype(x.dtype),
+                        plan_d[f"b{j}l{l}s1"], bias_row).astype(x.dtype)
+            bias_row += 1
+            h = tapconv(lrelu(h.astype(jnp.float32), LRELU).astype(x.dtype),
+                        plan_d[f"b{j}l{l}s2"], bias_row)
+            bias_row += 1
+            state = (h + state.astype(jnp.float32)).astype(x.dtype)
+        branch_sum = state.astype(jnp.float32) if branch_sum is None else branch_sum + state.astype(jnp.float32)
+    m = (branch_sum / 3.0).astype(x.dtype)
+    o_ref[0] = m[halo:halo + tbu]
+
+
+def fused_stage(x1: jnp.ndarray, Wup: jnp.ndarray, Wm: jnp.ndarray, Bm: jnp.ndarray,
+                plan, *, channels: int, tbu: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """x1: [B, T1, Cin] pre-activation input of the rate-4 upsample stage.
+    Returns the MRF output [B, 4*T1, channels] (pre-activation input of the
+    next stage)."""
+    B, T1, cin = x1.shape
+    C = channels
+    lanes = F * C
+    lp = Wm.shape[1]
+    in_lp = Wup.shape[1]
+    halo = ((_halo_units() + 2 + 3) // 4) * 4
+    tbu = min(tbu, ((T1 + 7) // 8) * 8)
+    n = max(1, -(-T1 // tbu))
+    xp = jnp.pad(x1, ((0, 0), (halo, halo + n * tbu - T1), (0, in_lp - cin)))
+
+    kernel = functools.partial(_stage_kernel, plan=plan, tbu=tbu, halo=halo,
+                               total_units=T1, channels=C)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n * tbu, lp), x1.dtype),
+        grid=(B, n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(Wup.shape, lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(Wm.shape, lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(Bm.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tbu, lp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tbu + 2 * halo, in_lp), x1.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n * tbu * (Wm.shape[0] + 1) * lp * lp,
+            bytes_accessed=(B * n * tbu * (in_lp + lp)) * x1.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, Wup, Wm, Bm)
+    # [B, n*tbu, lp] -> packed units are 4 frames x C channels
+    out = out[:, :T1, :lanes]
+    return out.reshape(B, T1 * F, C)

@@ -90,3 +90,30 @@ def test_generator_fused_integration_matches_unfused():
         out = V.generator(p, cfg, mel, fuse_tail="interpret")
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_stage_exact():
+    """fused_stage (rate-4 upsample + 62-ch MRF) vs the op-by-op composition."""
+    C, CIN = 62, 125
+    key = jax.random.PRNGKey(7)
+    up = L.conv1d_init(key, CIN, C, 4)
+    blocks = [V._resblock1_init(jax.random.fold_in(key, j), C, KERNELS[j], DILS[j])
+              for j in range(3)]
+    x1 = jax.random.normal(jax.random.fold_in(key, 8), (2, 100, CIN), jnp.float32)
+
+    def ref(x):
+        x = L.leaky_relu(x, V.LRELU_SLOPE)
+        x = L.conv_transpose1d(up, x, stride=4, padding=0, kernel=4)
+        acc = None
+        for j in range(3):
+            y = V._resblock1(blocks[j], x, KERNELS[j], DILS[j])
+            acc = y if acc is None else acc + y
+        return acc / 3
+
+    with jax.default_matmul_precision("highest"):
+        r = ref(x1)
+        Wup, Wm, Bm, plan = VT.pack_stage_weights(up, blocks, C, CIN, KERNELS, DILS,
+                                                  dtype=jnp.float32)
+        out = VT.fused_stage(x1, Wup, Wm, Bm, plan, channels=C, tbu=48, interpret=True)
+    assert out.shape == r.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(r), atol=2e-5)
