@@ -98,7 +98,16 @@ def load_models(args):
     voc_params, voc_cfg = load_any(args.hifigan_ckpt, V.VocoderConfig, "vocoder")
     tok = load_covomix_tokenizer(args.bert_vocab)
     mel_cfg = MelConfig(sample_rate=voc_cfg.sampling_rate)
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    import jax
+
+    # bf16 is the serving precision on TPU (MXU-native; f32 also halves the
+    # flash kernel's usable block sizes); --f32 forces full precision
+    if args.f32:
+        dtype = jnp.float32
+    elif args.bf16 or jax.devices()[0].platform == "tpu":
+        dtype = jnp.bfloat16
+    else:
+        dtype = jnp.float32
     return Synthesizer(t2s_params, t2s_cfg, ac_params, ac_cfg, voc_params, voc_cfg, tok,
                        mel_cfg=mel_cfg, dtype=dtype)
 
@@ -114,7 +123,8 @@ def main():
     parser.add_argument("--seed", type=int, default=30)
     parser.add_argument("--mode", type=str, choices=["covosingle", "covosinx", "covomix"], default="covosingle")
     parser.add_argument("--bert_vocab", type=str, default=None, help="path to bert-base-uncased vocab.txt")
-    parser.add_argument("--bf16", action="store_true", help="bfloat16 compute on TPU")
+    parser.add_argument("--bf16", action="store_true", help="force bfloat16 compute (default on TPU)")
+    parser.add_argument("--f32", action="store_true", help="force float32 compute")
     args = parser.parse_args()
 
     import jax
