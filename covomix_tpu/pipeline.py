@@ -149,6 +149,23 @@ class Synthesizer:
         wav = np.asarray(self._voc_fn(self.vocoder_params, mel=jnp.asarray(m[None])))[0]
         return wav[: t * self.mel_cfg.hop_size]
 
+    def _check_mode(self, mode: str) -> None:
+        """Fail fast on a model-variant / mode mismatch instead of a shape
+        error deep in the acoustic stage (covosingle needs a VoSingle
+        1-stream model; covosinx/covomix need the 2-stream VoMix variants;
+        covomix additionally needs a CoMix two-output T2S)."""
+        streams = self.acoustic_cfg.n_phoneme_streams
+        if mode == "covosingle" and streams != 1:
+            raise ValueError(
+                f"mode covosingle needs a VoSingle acoustic model (1 phoneme stream); "
+                f"got mode={self.acoustic_cfg.mode!r} ({streams} streams)")
+        if mode in ("covosinx", "covomix") and streams != 2:
+            raise ValueError(
+                f"mode {mode} needs a two-stream acoustic model (two_two/two_one); "
+                f"got mode={self.acoustic_cfg.mode!r}")
+        if mode == "covomix" and not getattr(self.t2s_cfg, "two_output", False):
+            raise ValueError("mode covomix needs a CoMix T2S model (two_output=True)")
+
     # ---- modes (monologue) -------------------------------------------------
 
     def synthesize_turn(self, text: str, sem_prompt: np.ndarray, mel_prompt: np.ndarray, key) -> np.ndarray:
@@ -176,6 +193,7 @@ class Synthesizer:
         return self.vocode(mel)
 
     def monologue(self, mode: str, text: str, prompt_path: str, key) -> np.ndarray:
+        self._check_mode(mode)
         text = _clean(text)
         sem, mel = self.prepare_prompt(prompt_path)
         if mode == "covosingle":
@@ -198,6 +216,7 @@ class Synthesizer:
     # ---- modes (dialogue) --------------------------------------------------
 
     def dialogue(self, mode: str, text: str, prompt_path_1: str, prompt_path_2: str, key) -> np.ndarray:
+        self._check_mode(mode)
         sem1, mel1 = self.prepare_prompt(prompt_path_1)
         sem2, mel2 = self.prepare_prompt(prompt_path_2)
         if mode == "covosingle":
