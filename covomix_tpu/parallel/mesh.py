@@ -26,8 +26,10 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if dp is None:
         dp = n // tp
-    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, tp)
+    assert dp * tp <= n, f"mesh {dp}x{tp} needs more than the {n} available devices"
+    # an explicitly smaller mesh runs on a device subset (e.g. train.py
+    # --dp 1 on a multi-chip host, or a serving batch not divisible by n)
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 
 

@@ -26,3 +26,10 @@ def enable(cache_dir: str = _DEFAULT_DIR) -> None:
 
 
 enable()
+
+if os.environ.get("COVOMIX_FORCE_CPU"):
+    # Every CLI imports this module before any device use. The axon jax
+    # build ignores the JAX_PLATFORMS env var; this config update is the
+    # only working CPU override (used by subprocess tests and TPU-less
+    # machines).
+    jax.config.update("jax_platforms", "cpu")

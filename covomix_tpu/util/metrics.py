@@ -127,7 +127,10 @@ def stoi(reference: np.ndarray, estimate: np.ndarray, fs: int, extended: bool = 
             yr = (yn - yn.mean(1, keepdims=True))
             xr /= np.linalg.norm(xr, axis=1, keepdims=True) + 1e-12
             yr /= np.linalg.norm(yr, axis=1, keepdims=True) + 1e-12
-            scores.append(np.sum(xr * yr) / NUM_BANDS)
+            # Jensen & Taal 2016 eq. 4: average the N unit-norm frame inner
+            # products (each <= 1 by Cauchy-Schwarz) — dividing by the band
+            # count instead doubled the score (N=30 frames / J=15 bands)
+            scores.append(np.sum(xr * yr) / N)
         else:
             alpha = np.linalg.norm(xseg, axis=0, keepdims=True) / (np.linalg.norm(yseg, axis=0, keepdims=True) + 1e-12)
             yprime = np.minimum(yseg * alpha, xseg * (1 + 10 ** (15 / 20)))

@@ -13,6 +13,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import covomix_tpu.util.jaxcache  # noqa: F401  (compile cache + COVOMIX_FORCE_CPU)
+
 
 def main():
     p = argparse.ArgumentParser()

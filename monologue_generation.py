@@ -108,10 +108,12 @@ def load_models(args):
     import jax
 
     # bf16 is the serving precision on TPU (MXU-native; f32 also halves the
-    # flash kernel's usable block sizes); --f32 forces full precision
-    if args.f32:
+    # flash kernel's usable block sizes); --f32 forces full precision.
+    # getattr: other CLIs (serve_batch) reuse load_models with their own
+    # parsers that may not define both flags.
+    if getattr(args, "f32", False):
         dtype = jnp.float32
-    elif args.bf16 or jax.devices()[0].platform == "tpu":
+    elif getattr(args, "bf16", False) or jax.devices()[0].platform == "tpu":
         dtype = jnp.bfloat16
     else:
         dtype = jnp.float32

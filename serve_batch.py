@@ -43,8 +43,13 @@ def main():
     from monologue_generation import load_models
 
     synth = load_models(args)  # reuse checkpoint loading (npz or torch)
+    # dp must divide the serving batch (rows are sharded over 'dp'); use the
+    # largest divisor of the batch that fits the device count
     n_dev = jax.device_count()
-    mesh = make_mesh(dp=n_dev, tp=1) if n_dev > 1 else None
+    dp = max(d for d in range(1, n_dev + 1) if args.batch % d == 0)
+    if dp < n_dev:
+        print(f"note: batch {args.batch} not divisible by {n_dev} devices; using dp={dp}")
+    mesh = make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp]) if dp > 1 else None
     pipe = BatchedPipeline(
         synth.t2s_params, synth.t2s_cfg, synth.acoustic_params, synth.acoustic_cfg,
         synth.vocoder_params, synth.vocoder_cfg, mesh=mesh,

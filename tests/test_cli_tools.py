@@ -1,0 +1,140 @@
+"""Subprocess smoke tests for the remaining CLIs (fairseq test_binaries
+pattern): evaluate_metrics, extract_semantic_tokens, serve_batch, train.py.
+All run on CPU via COVOMIX_FORCE_CPU (handled centrally in util/jaxcache)."""
+
+import csv
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, args, cwd, timeout=900):
+    env = dict(os.environ, COVOMIX_FORCE_CPU="1")
+    return subprocess.run([sys.executable, os.path.join(REPO, script)] + args,
+                          capture_output=True, text=True, timeout=timeout, env=env, cwd=cwd)
+
+
+def test_evaluate_metrics_cli(tmp_path):
+    from covomix_tpu.audio import save_wav
+
+    rng = np.random.RandomState(0)
+    gen, ref = tmp_path / "gen", tmp_path / "ref"
+    gen.mkdir(), ref.mkdir()
+    for name in ("a.wav", "b.wav"):
+        w = rng.randn(8000).astype(np.float32) * 0.1
+        save_wav(str(ref / name), w, 8000)
+        save_wav(str(gen / name), w + rng.randn(8000).astype(np.float32) * 0.01, 8000)
+    out = tmp_path / "m.csv"
+    r = _run("evaluate_metrics.py", ["--gen_dir", str(gen), "--ref_dir", str(ref),
+                                     "--out_csv", str(out)], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-1500:]
+    rows = [r for r in csv.DictReader(open(out)) if not r["file"].startswith("#")]
+    assert len(rows) == 2
+    for row in rows:
+        assert 1.0 <= float(row["pesq_nb"]) <= 4.6
+        assert 0.8 < float(row["stoi"]) <= 1.0 + 1e-6   # near-identical signals
+        assert 0.8 < float(row["estoi"]) <= 1.0 + 1e-6
+
+
+def test_extract_semantic_tokens_cli_smoke(tmp_path):
+    """Random-weight smoke mode: checks batching, masking, chunking and the
+    string-array .hubert_code.npy output convention."""
+    from covomix_tpu.audio import save_wav
+
+    rng = np.random.RandomState(1)
+    wavs = tmp_path / "wavs"
+    wavs.mkdir()
+    for name in ("x.wav", "y.wav"):
+        save_wav(str(wavs / name), rng.randn(16000).astype(np.float32) * 0.05, 16000)
+    r = _run("extract_semantic_tokens.py", ["--data_dir", str(wavs)], cwd=str(tmp_path),
+             timeout=1200)
+    assert r.returncode == 0, r.stderr[-1500:]
+    codes = np.load(str(wavs / "x.hubert_code.npy"))
+    assert codes.dtype.kind in ("U", "S")  # reference stores STRING arrays
+    ids = codes.astype(int)
+    assert len(ids) > 0 and (ids >= 0).all() and (ids < 500).all()
+
+
+def test_serve_batch_cli(tmp_path):
+    from covomix_tpu.audio import save_wav
+    from covomix_tpu.checkpoint import io as cio
+    from covomix_tpu.models import acoustic as A, text2semantic as T, vocoder as V
+
+    key = jax.random.PRNGKey(0)
+    t2s_cfg = T.T2SConfig(num_text_tokens=512, num_semantic_tokens=502, dim=32,
+                          source_depth=1, target_depth=1, heads=2, dim_head=16,
+                          two_output=True, target_dim=32)
+    cio.save_params(str(tmp_path / "t2s.npz"), T.init(key, t2s_cfg),
+                    meta={"config": t2s_cfg.__dict__})
+    ac_cfg = A.AcousticConfig(dim_in=160, dim=32, depth=2, heads=2, dim_head=16,
+                              dim_phoneme_emb=16, num_phoneme_tokens=502, mode="two_one")
+    cio.save_params(str(tmp_path / "acoustic.npz"), A.init(jax.random.fold_in(key, 1), ac_cfg),
+                    meta={"config": ac_cfg.__dict__})
+    voc_cfg = V.VocoderConfig(upsample_initial_channel=32)
+    cio.save_params(str(tmp_path / "vocoder.npz"), V.init_generator(jax.random.fold_in(key, 2), voc_cfg),
+                    meta={"config": voc_cfg.__dict__})
+
+    texts = tmp_path / "texts"
+    prompts = tmp_path / "prompts"
+    texts.mkdir(), prompts.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        (texts / f"d{i}.txt").write_text("hello there [spkchange] hi")
+        for suf in ("_1", "_2"):
+            np.save(str(prompts / f"d{i}{suf}.hubert_code.npy"),
+                    rng.randint(0, 500, size=20).astype(str))
+            save_wav(str(prompts / f"d{i}{suf}.wav"),
+                     rng.randn(20 * 160).astype(np.float32) * 0.05, 8000)
+
+    out = tmp_path / "served"
+    r = _run("serve_batch.py", [
+        "--t2s_ckpt", str(tmp_path / "t2s.npz"),
+        "--acous_ckpt", str(tmp_path / "acoustic.npz"),
+        "--hifigan_ckpt", str(tmp_path / "vocoder.npz"),
+        "--text_dir", str(texts), "--prompt_dir", str(prompts),
+        "--saved_dir", str(out), "--batch", "2", "--decode_len", "16",
+        "--max_text_tokens", "32"], cwd=str(tmp_path), timeout=1200)
+    assert r.returncode == 0, r.stderr[-1500:]
+    wavs = [f for f in os.listdir(out) if f.endswith(".wav")]
+    assert len(wavs) == 2, (r.stdout[-800:], list(os.listdir(out)))
+
+
+def test_train_cli_two_steps(tmp_path):
+    """train.py on a synthetic hubert_fisher dataset for 2 steps: exercises
+    the data pipeline, mesh setup, checkpointing and JSONL logging."""
+    rng = np.random.RandomState(2)
+    data = tmp_path / "data"
+    (data / "train").mkdir(parents=True)
+    (data / "valid").mkdir()
+    for split, n in (("train", 4), ("valid", 2)):
+        for i in range(n):
+            t = 40 + 8 * i
+            np.save(str(data / split / f"u{i}.mel.npy"),
+                    rng.randn(80, t).astype(np.float32))
+            np.save(str(data / split / f"u{i}.hubert_code.npy"),
+                    rng.randint(0, 500, size=t).astype(str))
+    logs = tmp_path / "logs"
+    r = _run("train.py", [
+        "--base_dir", str(data), "--format", "hubert_fisher",
+        "--log_dir", str(logs), "--run_name", "smoke",
+        "--max_steps", "2", "--batch_size", "2",
+        "--CoVoMix_dim_transformer", "32", "--CoVoMix_depth", "2",
+        "--CoVoMix_heads", "2", "--CoVoMix_dim_head", "16",
+        "--ckpt_every", "2", "--eval_every", "1000", "--dp", "1", "--log_every", "1"],
+        cwd=str(tmp_path), timeout=1500)
+    assert r.returncode == 0, r.stderr[-2500:]
+    run_dir = logs / "smoke"
+    assert run_dir.exists()
+    metrics = run_dir / "metrics.jsonl"
+    assert metrics.exists(), list(os.walk(str(logs)))
+    lines = [json.loads(l) for l in open(metrics) if l.strip()]
+    assert any("loss" in json.dumps(l) for l in lines)

@@ -42,6 +42,7 @@ def build_argparser():
     t.add_argument("--resume", action="store_true")
     t.add_argument("--no_wandb", action="store_true", help="(parity flag; logging is JSONL+TensorBoard-format)")
     t.add_argument("--max_steps", type=int, default=0, help="stop after N steps (0 = unlimited)")
+    t.add_argument("--log_every", type=int, default=50)
     # model (CoVoMixModel.add_argparse_args parity)
     m = p.add_argument_group("CoVoMixModel")
     m.add_argument("--lr", type=float, default=1e-4)
@@ -217,7 +218,7 @@ def main():
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, batch, sub)
             watchdog.beat(step_i + 1)
-            if (step_i + 1) % 50 == 0:
+            if (step_i + 1) % args.log_every == 0:
                 loss = float(metrics["loss"])
                 now = time.time()
                 sps = (step_i + 1 - step_last) / max(now - t_last, 1e-9)
