@@ -138,3 +138,56 @@ def test_train_cli_two_steps(tmp_path):
     assert metrics.exists(), list(os.walk(str(logs)))
     lines = [json.loads(l) for l in open(metrics) if l.strip()]
     assert any("loss" in json.dumps(l) for l in lines)
+
+
+def test_hifigan_train_cli_two_steps(tmp_path):
+    from covomix_tpu.audio import save_wav
+
+    rng = np.random.RandomState(3)
+    wavs = tmp_path / "wavs"
+    wavs.mkdir()
+    for i in range(3):
+        save_wav(str(wavs / f"w{i}.wav"), rng.randn(12000).astype(np.float32) * 0.1, 8000)
+    cfg = {"num_mels": 80, "upsample_rates": [5, 4, 4, 2], "upsample_kernel_sizes": [8, 8, 4, 4],
+           "upsample_initial_channel": 32, "resblock_kernel_sizes": [3, 7, 11],
+           "resblock_dilation_sizes": [[1, 3, 5]] * 3, "resblock": "1",
+           "segment_size": 8032, "num_freq": 1025, "n_fft": 480, "hop_size": 160,
+           "win_size": 480, "sampling_rate": 8000, "fmin": 0, "fmax": 4000,
+           "fmax_for_loss": None, "batch_size": 2, "learning_rate": 0.0002,
+           "adam_b1": 0.8, "adam_b2": 0.99, "lr_decay": 0.999}
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+    ckpt = tmp_path / "cp"
+    r = _run("hifigan_train.py", [
+        "--input_wavs_dir", str(wavs), "--config", str(tmp_path / "cfg.json"),
+        "--checkpoint_path", str(ckpt), "--training_steps", "2",
+        "--stdout_interval", "1", "--checkpoint_interval", "2",
+        "--num_workers", "0"], cwd=str(tmp_path), timeout=1500)
+    assert r.returncode == 0, r.stderr[-2500:]
+    assert any(f.startswith("g_") for f in os.listdir(ckpt)), list(os.listdir(ckpt))
+
+
+def test_hifigan_inference_cli(tmp_path):
+    from covomix_tpu.audio import save_wav
+    from covomix_tpu.checkpoint import io as cio
+    from covomix_tpu.models import vocoder as V
+
+    voc_cfg = V.VocoderConfig(upsample_initial_channel=32)
+    p = V.init_generator(jax.random.PRNGKey(0), voc_cfg)
+    cio.save_params(str(tmp_path / "g.npz"), p, meta={"config": voc_cfg.__dict__})
+    cfg = {"num_mels": 80, "upsample_rates": [5, 4, 4, 2], "upsample_kernel_sizes": [8, 8, 4, 4],
+           "upsample_initial_channel": 32, "resblock_kernel_sizes": [3, 7, 11],
+           "resblock_dilation_sizes": [[1, 3, 5]] * 3, "resblock": "1",
+           "n_fft": 480, "hop_size": 160, "win_size": 480, "sampling_rate": 8000,
+           "fmin": 0, "fmax": 4000}
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+    wavs = tmp_path / "wavs"
+    wavs.mkdir()
+    rng = np.random.RandomState(4)
+    save_wav(str(wavs / "a.wav"), rng.randn(16000).astype(np.float32) * 0.1, 8000)
+    out = tmp_path / "out"
+    r = _run("hifigan_inference.py", [
+        "--checkpoint_file", str(tmp_path / "g.npz"), "--config", str(tmp_path / "cfg.json"),
+        "--input_wavs_dir", str(wavs), "--output_dir", str(out)], cwd=str(tmp_path),
+        timeout=1500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "a_generated.wav").exists()
