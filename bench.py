@@ -12,142 +12,274 @@ run ALL DECODE_LEN steps via min_length (random weights would otherwise
 sample EOS early and flatter the RTF), and each stage is timed separately
 with a host-fetch sync between stages.
 
+Flake-proofing: the axon tunnel sporadically fails backend init on the FIRST
+device op (round-2 post-mortem: the retry only wrapped the T2S warmup, so a
+first-touch flake zeroed the round). The real measurement therefore runs in a
+CHILD process; this parent never imports jax, retries the whole child with
+backoff, and on final failure still emits a JSON line with an "error" key so
+the round is never blank.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus extra
-keys: per-stage wall seconds, decoded steps, and
-vocoder_samples_per_sec_per_chip (BASELINE metric 2)."""
+keys: per-stage wall seconds, a batch-scaling table (B in BENCH_SWEEP,
+default 4,16,64 — BASELINE config 5 is 64 concurrent dialogues),
+vocoder_samples_per_sec_per_chip (BASELINE metric 2) and
+hubert_tokens_per_sec_per_chip (BASELINE config 3)."""
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HEADLINE_UNIT = "wall_s_per_audio_s"
+BASELINE_RTF = 0.05
 
-import covomix_tpu.util.jaxcache  # noqa: F401
+
+def parent():
+    """Retry the measurement child; never blank the round (VERDICT r2 item 1)."""
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 4))
+    last_tail = ""
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                stdout=subprocess.PIPE, text=True,
+                timeout=int(os.environ.get("BENCH_TIMEOUT", 3000)),
+            )
+        except subprocess.TimeoutExpired:
+            last_tail = "child timed out"
+            print(f"# bench child attempt {attempt + 1}/{attempts} timed out", file=sys.stderr)
+            if attempt < attempts - 1:
+                time.sleep(20)
+            continue
+        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+        if proc.returncode == 0 and lines:
+            try:
+                json.loads(lines[-1])
+            except ValueError:
+                last_tail = lines[-1][:400]
+            else:
+                print(lines[-1])
+                return 0
+        last_tail = (lines[-1][:400] if lines else f"rc={proc.returncode}, no output")
+        print(f"# bench child attempt {attempt + 1}/{attempts} failed: {last_tail}",
+              file=sys.stderr)
+        if attempt < attempts - 1:
+            time.sleep(20 * (attempt + 1))
+    print(json.dumps({
+        "metric": "dialogue_rtf_per_chip", "value": None, "unit": HEADLINE_UNIT,
+        "vs_baseline": None, "error": f"all {attempts} attempts failed: {last_tail}",
+    }))
+    return 0  # the JSON line itself flags the failure
 
 
-def main():
+def child():
     import functools
 
+    import covomix_tpu.util.jaxcache  # noqa: F401
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    dtype = jnp.bfloat16
-    key = jax.random.PRNGKey(0)
-
     from covomix_tpu.models import acoustic as A, text2semantic as T, vocoder as V
 
-    # batch of concurrent dialogues and target length
-    B = int(os.environ.get("BENCH_BATCH", 4))
-    DECODE_LEN = int(os.environ.get("BENCH_DECODE_LEN", 512))   # 512 frames = 10.24 s per dialogue
+    dtype = jnp.bfloat16
+    DECODE_LEN = int(os.environ.get("BENCH_DECODE_LEN", 512))  # 512 frames = 10.24 s/dialogue
     PROMPT = 400
+    sweep = [int(x) for x in os.environ.get("BENCH_SWEEP", "4,16,64").split(",") if x]
+    headline_b = sweep[0]
 
     # reference-scale configs (running_command/*.sh)
     t2s_cfg = T.T2SConfig(dim=512, source_depth=4, target_depth=4, heads=8, dim_head=64,
-                          num_text_tokens=30528, num_semantic_tokens=501, target_dim=1024, two_output=True)
+                          num_text_tokens=30528, num_semantic_tokens=501, target_dim=1024,
+                          two_output=True)
     ac_cfg = A.AcousticConfig(dim_in=160, dim=1024, depth=8, heads=16, dim_head=64,
                               num_phoneme_tokens=502, mode="two_one")
     voc_cfg = V.VocoderConfig()
+    if os.environ.get("BENCH_TINY"):
+        # plumbing smoke test only (CPU CI) — numbers are meaningless
+        t2s_cfg = T.T2SConfig(dim=32, source_depth=1, target_depth=1, heads=2, dim_head=16,
+                              num_text_tokens=30528, num_semantic_tokens=501, target_dim=64,
+                              two_output=True)
+        ac_cfg = A.AcousticConfig(dim_in=160, dim=32, depth=2, heads=2, dim_head=16,
+                                  dim_phoneme_emb=16, num_phoneme_tokens=502, mode="two_one")
+        voc_cfg = V.VocoderConfig(upsample_initial_channel=16)
 
-    t2s_params = jax.jit(T.init, static_argnums=1)(key, t2s_cfg)
+    def retry(fn, what, attempts=5):
+        """In-child retry for sporadic tunnel flakes mid-run (first-touch
+        failures are handled by the parent's whole-child retry)."""
+        for attempt in range(attempts):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 — tunnel raises RuntimeError/XlaRuntimeError
+                if attempt == attempts - 1:
+                    raise
+                print(f"# {what} attempt {attempt} failed ({str(e)[:120]}); retrying",
+                      file=sys.stderr)
+                time.sleep(15 * (attempt + 1))
+
+    key = retry(lambda: jax.block_until_ready(jax.random.PRNGKey(0)), "first device op")
+    t2s_params = retry(lambda: jax.jit(T.init, static_argnums=1)(key, t2s_cfg), "t2s init")
     ac_params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(1), ac_cfg)
     voc_params = jax.jit(V.init_generator, static_argnums=1)(jax.random.PRNGKey(2), voc_cfg)
 
-    text_ids = jax.random.randint(key, (B, 64), 1, 30000)
     # min_length == max_length: decode runs every step (honest full-length AR cost)
     gen_fn = jax.jit(functools.partial(T.generate, cfg=t2s_cfg, max_length=DECODE_LEN,
                                        min_length=DECODE_LEN, dtype=dtype))
-
-    total_frames = PROMPT + DECODE_LEN
-    ph = jax.random.randint(key, (B, total_frames, 2), 0, 502)
-    cond = jax.random.normal(key, (B, total_frames, 160), jnp.float32)
     sample_fn = jax.jit(functools.partial(A.sample, cfg=ac_cfg, cond_scale=0.7, dtype=dtype))
     voc_fn = jax.jit(functools.partial(V.generator, cfg=voc_cfg, dtype=dtype))
 
     def sync(x):
         np.asarray(x[:1].ravel()[:8])  # axon tunnel: block_until_ready doesn't block
 
-    # warmup / compile all three stages. The axon tunnel sporadically throws
-    # FAILED_PRECONDITION / UNAVAILABLE on the first device use; retry.
-    gen = None
-    for attempt in range(3):
-        try:
-            gen = gen_fn(t2s_params, key=jax.random.PRNGKey(10), source_ids=text_ids)
-            sync(gen.tokens)
-            break
-        except Exception as e:
-            if attempt == 2:
-                raise
-            print(f"# warmup attempt {attempt} failed ({str(e)[:120]}); retrying", file=sys.stderr)
-            time.sleep(20)
-    mel = sample_fn(ac_params, key=jax.random.PRNGKey(11), phoneme_ids=ph, cond=cond)
-    sync(mel)
-    wav = voc_fn(voc_params, mel=mel)
-    sync(wav)
+    total_frames = PROMPT + DECODE_LEN
 
-    runs = int(os.environ.get("BENCH_RUNS", 3))
-    stage_walls = {"t2s": [], "flow": [], "vocoder": []}
-    num_steps = 0
-    for i in range(runs):
-        k1, k2 = jax.random.split(jax.random.PRNGKey(100 + i))
-        t0 = time.time()
-        gen = gen_fn(t2s_params, key=k1, source_ids=text_ids)
-        num_steps = int(np.asarray(gen.num_steps))  # sync via host fetch
-        stage_walls["t2s"].append(time.time() - t0)
-        t0 = time.time()
-        mel = sample_fn(ac_params, key=k2, phoneme_ids=ph, cond=cond)
+    def measure_pipeline(B, runs):
+        """Per-stage best wall at batch B (min over runs = steady state,
+        excluding sporadic tunnel stalls)."""
+        text_ids = jax.random.randint(key, (B, 64), 1, 30000)
+        ph = jax.random.randint(key, (B, total_frames, 2), 0, 502)
+        cond = jax.random.normal(key, (B, total_frames, 160), jnp.float32)
+        # warmup / compile
+        gen = retry(lambda: gen_fn(t2s_params, key=jax.random.PRNGKey(10), source_ids=text_ids),
+                    f"B={B} t2s warmup")
+        sync(gen.tokens)
+        mel = sample_fn(ac_params, key=jax.random.PRNGKey(11), phoneme_ids=ph, cond=cond)
         sync(mel)
-        stage_walls["flow"].append(time.time() - t0)
-        t0 = time.time()
         wav = voc_fn(voc_params, mel=mel)
         sync(wav)
-        stage_walls["vocoder"].append(time.time() - t0)
+        walls = {"t2s": [], "flow": [], "vocoder": []}
+        num_steps = 0
+        for i in range(runs):
+            k1, k2 = jax.random.split(jax.random.PRNGKey(100 + i))
+            t0 = time.time()
+            gen = gen_fn(t2s_params, key=k1, source_ids=text_ids)
+            num_steps = int(np.asarray(gen.num_steps))  # sync via host fetch
+            walls["t2s"].append(time.time() - t0)
+            t0 = time.time()
+            mel = sample_fn(ac_params, key=k2, phoneme_ids=ph, cond=cond)
+            sync(mel)
+            walls["flow"].append(time.time() - t0)
+            t0 = time.time()
+            wav = voc_fn(voc_params, mel=mel)
+            sync(wav)
+            walls["vocoder"].append(time.time() - t0)
+        best = {k: min(v) for k, v in walls.items()}
+        audio_s = B * DECODE_LEN * 0.02
+        rtf = sum(best.values()) / audio_s
+        print(f"# B={B}: best walls { {k: round(v, 4) for k, v in best.items()} } "
+              f"RTF {rtf:.5f} decoded_steps={num_steps}/{DECODE_LEN}", file=sys.stderr)
+        return {"rtf": round(rtf, 5),
+                "t2s_wall_s": round(best["t2s"], 4),
+                "flow_wall_s": round(best["flow"], 4),
+                "vocoder_wall_s": round(best["vocoder"], 4),
+                "audio_s": audio_s, "decoded_steps": num_steps}, mel
 
-    # vocoder THROUGHPUT (BASELINE metric 2): device-resident, N generator
-    # applications inside ONE jit (lax.fori_loop, carry-tainted input so XLA
-    # cannot hoist the body). Each host dispatch through the axon tunnel
-    # pays a ~30-40 ms round trip that does NOT pipeline across back-to-back
-    # enqueues (measured), which would understate the ~23 ms generator
-    # compute ~2x; a production server keeps the queue device-side.
-    NLOOP = int(os.environ.get("BENCH_VOC_LOOP", 10))
+    def vocoder_throughput(mel, B, nloop):
+        """Device-resident: N generator applications inside ONE jit
+        (lax.fori_loop, carry-tainted input so XLA cannot hoist the body).
+        Host dispatches do not pipeline through the axon tunnel (~34 ms round
+        trip each, measured r2), which would understate the generator compute
+        ~2x; a production server keeps the queue device-side."""
+        @jax.jit
+        def voc_loop(params, mel):
+            def body(i, c):
+                w = V.generator(params, voc_cfg, mel + c, dtype=dtype)
+                return w.ravel()[0].astype(jnp.float32) * 1e-9
+            return jax.lax.fori_loop(0, nloop, body, jnp.float32(0))
 
-    @jax.jit
-    def voc_loop(params, mel):
-        def body(i, c):
-            w = V.generator(params, voc_cfg, mel + c, dtype=dtype)
-            return w.ravel()[0].astype(jnp.float32) * 1e-9
-        return jax.lax.fori_loop(0, NLOOP, body, jnp.float32(0))
+        float(voc_loop(voc_params, mel))  # compile + warm (host fetch = sync)
+        t0 = time.time()
+        float(voc_loop(voc_params, mel))
+        wall = (time.time() - t0) / nloop
+        return B * mel.shape[1] * voc_cfg.total_upsample / wall
 
-    float(voc_loop(voc_params, mel))  # compile + warm (host fetch = sync)
-    t0 = time.time()
-    float(voc_loop(voc_params, mel))
-    voc_wall_per_call = (time.time() - t0) / NLOOP
-    voc_throughput = B * wav.shape[1] / voc_wall_per_call
+    def hubert_throughput():
+        """BASELINE config 3: semantic-token extraction rate at reference
+        scale (12-layer/768 HuBERT + 500-unit k-means argmin,
+        get_fisher_semantic_tokens_parallel.py:21-61). Tokens/sec/chip over
+        an in-jit loop on [B, 20 s] 16 kHz chunks."""
+        from covomix_tpu.models import hubert as H
+        hcfg = H.HubertConfig()
+        hparams = jax.jit(H.init, static_argnums=1)(jax.random.PRNGKey(3), hcfg)
+        B = int(os.environ.get("BENCH_HUBERT_BATCH", 8))
+        seconds = int(os.environ.get("BENCH_HUBERT_SECONDS", 20))
+        wav = jax.random.normal(key, (B, seconds * 16000), jnp.float32)
+        frames = H.num_output_frames(hcfg, wav.shape[1])
+        nloop = int(os.environ.get("BENCH_HUBERT_LOOP", 8))
 
-    # steady-state: min over runs per stage (excludes sporadic tunnel stalls)
-    best = {k: min(v) for k, v in stage_walls.items()}
-    wall_per_run = sum(best.values())
-    print(f"# per-stage best wall: { {k: round(v, 4) for k, v in best.items()} } "
-          f"decoded_steps={num_steps}/{DECODE_LEN}", file=sys.stderr)
+        @jax.jit
+        def loop(params, wav):
+            def body(i, c):
+                ids = H.wav2units_jit(params, hcfg, wav + c, dtype=dtype)
+                return ids.ravel()[0].astype(jnp.float32) * 1e-9
+            return jax.lax.fori_loop(0, nloop, body, jnp.float32(0))
 
-    audio_s = B * DECODE_LEN * 0.02          # per run
-    rtf = wall_per_run / audio_s
-    print(json.dumps({
+        float(loop(hparams, wav))
+        t0 = time.time()
+        float(loop(hparams, wav))
+        wall = (time.time() - t0) / nloop
+        return B * frames / wall, B * seconds / wall
+
+    # ---- measure -----------------------------------------------------------
+    scaling = {}
+    headline = None
+    mel_by_b = {}
+    for B in sweep:
+        runs = int(os.environ.get("BENCH_RUNS", 3 if B == headline_b else 2))
+        try:
+            stats, mel = measure_pipeline(B, runs)
+            scaling[str(B)] = stats
+            mel_by_b[B] = mel
+            if B == headline_b:
+                headline = stats
+        except Exception as e:  # noqa: BLE001
+            if B == headline_b:
+                raise
+            scaling[str(B)] = {"error": str(e)[:200]}
+            print(f"# B={B} sweep failed: {str(e)[:200]}", file=sys.stderr)
+
+    voc_tp = retry(lambda: vocoder_throughput(mel_by_b[headline_b], headline_b,
+                                              int(os.environ.get("BENCH_VOC_LOOP", 10))),
+                   "vocoder throughput")
+    voc_tp_big = None
+    big = max(b for b in mel_by_b)
+    if big != headline_b:
+        try:
+            voc_tp_big = vocoder_throughput(mel_by_b[big], big, 4)
+        except Exception as e:  # noqa: BLE001
+            print(f"# vocoder throughput B={big} failed: {str(e)[:200]}", file=sys.stderr)
+    try:
+        hub_tok, hub_audio = hubert_throughput()
+    except Exception as e:  # noqa: BLE001
+        hub_tok = hub_audio = None
+        print(f"# hubert throughput failed: {str(e)[:200]}", file=sys.stderr)
+
+    rtf = headline["rtf"]
+    out = {
         "metric": "dialogue_rtf_per_chip",
-        "value": round(rtf, 5),
-        "unit": "wall_s_per_audio_s",
-        "vs_baseline": round(rtf / 0.05, 3),
-        "t2s_wall_s": round(best["t2s"], 4),
-        "flow_wall_s": round(best["flow"], 4),
-        "vocoder_wall_s": round(best["vocoder"], 4),
-        "t2s_decoded_steps": num_steps,
+        "value": rtf,
+        "unit": HEADLINE_UNIT,
+        "vs_baseline": round(rtf / BASELINE_RTF, 3),
+        "t2s_wall_s": headline["t2s_wall_s"],
+        "flow_wall_s": headline["flow_wall_s"],
+        "vocoder_wall_s": headline["vocoder_wall_s"],
+        "t2s_decoded_steps": headline["decoded_steps"],
         "decode_len": DECODE_LEN,
-        "batch": B,
-        "vocoder_samples_per_sec_per_chip": round(voc_throughput),
-        "vocoder_throughput_loop": NLOOP,
-    }))
+        "batch": headline_b,
+        "batch_scaling": scaling,
+        "vocoder_samples_per_sec_per_chip": round(voc_tp),
+        "hubert_tokens_per_sec_per_chip": round(hub_tok) if hub_tok else None,
+        "hubert_audio_s_per_sec_per_chip": round(hub_audio, 1) if hub_audio else None,
+    }
+    if voc_tp_big is not None:
+        out[f"vocoder_samples_per_sec_b{big}"] = round(voc_tp_big)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        child()
+    else:
+        sys.exit(parent())

@@ -248,7 +248,8 @@ def forward(
     # 15-frame halo sees the same zeros an exact-length edge would
     # (see embed_inputs for the un-fused variant used by the PP schedule)
     if key_mask is None and valid_len is not None:
-        frame_keep = (jnp.arange(h.shape[1]) < valid_len)[None, :, None].astype(dtype)
+        vl = jnp.asarray(valid_len, jnp.int32).reshape(-1)  # [1] scalar or [B] per-row
+        frame_keep = (jnp.arange(h.shape[1])[None, :] < vl[:, None])[..., None].astype(dtype)
         conv_in = h * frame_keep
     elif key_mask is not None:
         conv_in = h * key_mask[..., None].astype(dtype)
@@ -365,6 +366,7 @@ def sample(
     step_size: float = 0.0625,
     key_mask: Optional[jnp.ndarray] = None,
     valid_len=None,
+    noise: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Midpoint ODE integration of the learned vector field from t=0 to t=1 as a
@@ -374,14 +376,17 @@ def sample(
 
     Note the reference's `sample` accepts a mask but ignores it (callers trim
     afterwards, monologue_generation.py:172); we keep that contract. `key_mask`
-    [B, T] / `valid_len` (scalar true length) are different: they exclude
-    bucket-padding frames from attention so padded inference matches
-    exact-length inference (tests/test_bucket_skew.py). Prefer `valid_len` —
-    it keeps attention on the Pallas flash kernel (the bool-mask path falls
-    back to the XLA einsum)."""
+    [B, T] / `valid_len` (scalar true length, or [B] one per row) are
+    different: they exclude bucket-padding frames from attention so padded
+    inference matches exact-length inference (tests/test_bucket_skew.py).
+    Prefer `valid_len` — it keeps attention on the Pallas flash kernel (the
+    bool-mask path falls back to the XLA einsum)."""
     n_steps = int(round(1.0 / step_size))
     b, t = cond.shape[0], cond.shape[1]
-    y0 = jax.random.normal(key, (b, t, cfg.mel_dim), jnp.float32)
+    # `noise` overrides the y0 draw (y0 ~ N(0, I), acoustic.py:650) — used by
+    # parity tests that must run the same noise through two layouts
+    y0 = jax.random.normal(key, (b, t, cfg.mel_dim), jnp.float32) if noise is None \
+        else noise.astype(jnp.float32)
 
     use_cfg = cond_scale != 1.0
 
@@ -391,6 +396,8 @@ def sample(
         drop = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)], axis=0)
         emb2 = static_embed(params, cfg, ph2, c2, cond_drop_mask=drop, dtype=dtype)
         km2 = None if key_mask is None else jnp.concatenate([key_mask, key_mask], axis=0)
+        if valid_len is not None and jnp.ndim(valid_len) >= 1:
+            valid_len = jnp.concatenate([valid_len, valid_len], axis=0)  # cond + null rows
 
         def field(y, times_scalar):
             y2 = jnp.concatenate([y, y], axis=0)

@@ -76,17 +76,18 @@ def _resblock1_init(key, channels: int, kernel: int, dilations: Sequence[int]):
     }
 
 
-def _resblock1(p, x, kernel: int, dilations: Sequence[int]):
+def _resblock1(p, x, kernel: int, dilations: Sequence[int], mask_fn=None):
+    m = mask_fn or (lambda h: h)
     for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
         xt = L.leaky_relu(x, LRELU_SLOPE)
-        xt = L.conv1d(c1, xt, padding=get_padding(kernel, d), rhs_dilation=d)
+        xt = m(L.conv1d(c1, xt, padding=get_padding(kernel, d), rhs_dilation=d))
         xt = L.leaky_relu(xt, LRELU_SLOPE)
-        xt = L.conv1d(c2, xt, padding=get_padding(kernel, 1))
+        xt = m(L.conv1d(c2, xt, padding=get_padding(kernel, 1)))
         x = xt + x
     return x
 
 
-def _mrf_packed(blocks, x, channels: int, kernels, dilations):
+def _mrf_packed(blocks, x, channels: int, kernels, dilations, mask_fn=None):
     """All |K| ResBlock1 branches of one MRF stage evaluated as ONE conv per
     (level, conv1/conv2) — 6 convs instead of 18.
 
@@ -120,6 +121,7 @@ def _mrf_packed(blocks, x, channels: int, kernels, dilations):
             dimension_numbers=("NWC", "WIO", "NWC")) + b.astype(h.dtype)
 
     b_, t_ = x.shape[0], x.shape[1]
+    m = mask_fn or (lambda h: h)
     xb = jnp.concatenate([x, x, x], axis=-1)
     for l in range(len(dilations[0])):
         d = dilations[0][l]
@@ -127,10 +129,10 @@ def _mrf_packed(blocks, x, channels: int, kernels, dilations):
         b1 = jnp.concatenate([blocks[j]["convs1"][l]["b"] for j in range(3)])
         # level 0 reads the shared upsample output: a true dense C -> 3C conv
         w1 = jnp.concatenate(w1s, axis=2) if l == 0 else block_diag(w1s)
-        h = conv(L.leaky_relu(x if l == 0 else xb, LRELU_SLOPE), w1, b1, d)
+        h = m(conv(L.leaky_relu(x if l == 0 else xb, LRELU_SLOPE), w1, b1, d))
         w2 = block_diag([pad_taps(blocks[j]["convs2"][l]["w"]) for j in range(3)])
         b2 = jnp.concatenate([blocks[j]["convs2"][l]["b"] for j in range(3)])
-        h = conv(L.leaky_relu(h, LRELU_SLOPE), w2, b2, 1)
+        h = m(conv(L.leaky_relu(h, LRELU_SLOPE), w2, b2, 1))
         xb = xb + h
     return xb.reshape(b_, t_, 3, channels).mean(2)
 
@@ -149,10 +151,11 @@ def _resblock2_init(key, channels: int, kernel: int, dilations: Sequence[int]):
     return {"convs": [L.conv1d_init(keys[i], channels, channels, kernel) for i in range(len(dilations))]}
 
 
-def _resblock2(p, x, kernel: int, dilations: Sequence[int]):
+def _resblock2(p, x, kernel: int, dilations: Sequence[int], mask_fn=None):
+    m = mask_fn or (lambda h: h)
     for c, d in zip(p["convs"], dilations):
         xt = L.leaky_relu(x, LRELU_SLOPE)
-        xt = L.conv1d(c, xt, padding=get_padding(kernel, d), rhs_dilation=d)
+        xt = m(L.conv1d(c, xt, padding=get_padding(kernel, d), rhs_dilation=d))
         x = xt + x
     return x
 
@@ -185,8 +188,17 @@ def _can_fuse_tail(cfg: VocoderConfig) -> bool:
             and 4 * (cfg.upsample_initial_channel // (2 ** len(cfg.upsample_rates))) <= 128)
 
 
+def valid_output_length(cfg: VocoderConfig, frames):
+    """`output_length` as traceable arithmetic (int, traced scalar, or [B]
+    array of valid frame counts) — the per-stage torch ConvTranspose1d chain."""
+    t = frames
+    for u, k in zip(cfg.upsample_rates, cfg.upsample_kernel_sizes):
+        t = (t - 1) * u - 2 * ((k - u) // 2) + k
+    return t
+
+
 def generator(params, cfg: VocoderConfig, mel: jnp.ndarray, dtype=jnp.float32,
-              fuse_tail: bool = None) -> jnp.ndarray:
+              fuse_tail: bool = None, valid_len=None) -> jnp.ndarray:
     """mel [B, T, num_mels] -> waveform [B, T*total_upsample] in [-1, 1].
 
     Mirrors Generator.forward (covomix/vocoder/models.py:100-116).
@@ -195,8 +207,34 @@ def generator(params, cfg: VocoderConfig, mel: jnp.ndarray, dtype=jnp.float32,
     upsample + MRF + conv_post + tanh as ONE Pallas kernel on a
     space-to-depth packed layout (ops/vocoder_tail.py; 12.6 -> 4.6 ms on the
     [4, 912-frame] serving shape — the tail is per-op-dispatch-bound, and
-    XLA cannot fuse across the 20 narrow-channel convs)."""
+    XLA cannot fuse across the 20 narrow-channel convs).
+
+    valid_len (scalar or [B] int, in MEL FRAMES): frames >= valid_len are
+    bucket/batch padding. Activations beyond each row's valid extent are
+    re-zeroed after EVERY conv, so positions inside the valid extent see
+    exactly the zero-padding an exact-length (reference-convention) run
+    would — the first valid_output_length(cfg, n) samples of each row equal
+    exact-length vocoding bit-for-bit (tests/test_vocoder.py). The reference
+    has no batched vocoder, so there is no reference counterpart; this is
+    what makes bucketed (hifigan_inference) and batched (serving) vocoding
+    quality-identical to the per-file path. Forces the unfused conv path
+    (the Pallas tail kernel is static-length)."""
+    mask_fn = None
+    if valid_len is not None:
+        fuse_tail = False
+        vl = jnp.asarray(valid_len, jnp.int32).reshape(-1)  # [1] or [B]
+
+        def make_mask(v):
+            def mask(h):
+                keep = jnp.arange(h.shape[1])[None, :] < v[:, None]
+                return h * keep[..., None].astype(h.dtype)
+            return mask
+
+        mask_fn = make_mask(vl)
+        mel = mask_fn(mel)  # pad frames (e.g. MEL_PAD fill) must read as zero
     x = L.conv1d(params["conv_pre"], mel.astype(dtype), padding=3)
+    if mask_fn is not None:
+        x = mask_fn(x)
     n_kernels = len(cfg.resblock_kernel_sizes)
     rb = _resblock1 if cfg.resblock == "1" else _resblock2
     n_stages = len(cfg.upsample_rates)
@@ -225,12 +263,19 @@ def generator(params, cfg: VocoderConfig, mel: jnp.ndarray, dtype=jnp.float32,
                                  interpret=(fuse_tail == "interpret"))
         x = L.leaky_relu(x, LRELU_SLOPE)
         x = L.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2, kernel=k)
+        if mask_fn is not None:
+            # valid length follows the torch ConvTranspose1d length chain
+            vl = (vl - 1) * u - 2 * ((k - u) // 2) + k
+            mask_fn = make_mask(vl)
+            x = mask_fn(x)
         if cfg.resblock == "1" and _can_pack_mrf(cfg, channels):
-            x = _mrf_packed(stage_blocks, x, channels, cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            x = _mrf_packed(stage_blocks, x, channels, cfg.resblock_kernel_sizes,
+                            cfg.resblock_dilation_sizes, mask_fn=mask_fn)
             continue
         acc = None
         for j in range(n_kernels):
-            y = rb(stage_blocks[j], x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j])
+            y = rb(stage_blocks[j], x, cfg.resblock_kernel_sizes[j],
+                   cfg.resblock_dilation_sizes[j], mask_fn=mask_fn)
             acc = y if acc is None else acc + y
         x = acc / n_kernels
     x = L.leaky_relu(x)  # torch default slope 0.01 (models.py:112)

@@ -68,17 +68,26 @@ def _blocked_loop(num_blocks: int, body, carry):
     return carry
 
 
+def _read_valid(valid_ref):
+    """valid_ref: SMEM scalar-prefetch int32 of shape [1] (one length for the
+    whole batch — bucketed serving) or [B] (one per row — batched serving with
+    heterogeneous decode lengths; grid dim 0 is the batch)."""
+    if valid_ref.shape[0] == 1:
+        return valid_ref[0]
+    return valid_ref[pl.program_id(0)]
+
+
 def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int, kv_len: int,
                   scale: float):
-    # valid_ref: SMEM scalar-prefetch [1] int32 — keys >= valid_len are
-    # padding and masked out (dynamic, so bucketed serving reuses ONE
+    # valid_ref: SMEM scalar-prefetch [1] or [B] int32 — keys >= valid_len
+    # are padding and masked out (dynamic, so bucketed serving reuses ONE
     # compiled kernel across true lengths). q_ref [1, hb, block_q, dh];
     # k_ref/v_ref [1, hb, kv_len, dh]; o_ref [1, hb, block_q, dh].
     # Optional lse_ref [1, hb, block_q]: per-row logsumexp (m + log l),
     # saved for the training backward pass.
     _, hb, block_q, dh = q_ref.shape
     q = q_ref[0]
-    valid_len = valid_ref[0]
+    valid_len = _read_valid(valid_ref)
 
     num_kb = kv_len // block_k
     # The K-block loop unrolls via _blocked_loop (see MAX_UNROLL — full
@@ -123,22 +132,26 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """q/k/v: [B, H, T, dh] -> [B, H, T, dh]. Arbitrary T: inputs are padded to
     a block multiple and padded key columns are masked inside the kernel.
 
-    `valid_len` (int or traced scalar, default T): keys at positions
-    >= valid_len are excluded — the prefix-mask contract of bucket-padded
-    serving (pipeline.flow_sample). It is a scalar-prefetch operand, so one
-    compiled kernel serves every true length within a bucket. Rows beyond
-    valid_len still attend the valid prefix (garbage-in garbage-out; callers
-    trim), so valid rows match exact-length attention.
+    `valid_len` (int / traced scalar / [B] int array, default T): keys at
+    positions >= valid_len are excluded — the prefix-mask contract of
+    bucket-padded serving (pipeline.flow_sample: one scalar per bucket;
+    serving.BatchedPipeline: one length PER ROW for heterogeneous decode
+    lengths). It is a scalar-prefetch operand, so one compiled kernel serves
+    every true length within a bucket. Rows beyond valid_len still attend the
+    valid prefix (garbage-in garbage-out; callers trim), so valid rows match
+    exact-length attention.
 
-    Differentiable: the backward pass recomputes attention via the XLA
-    einsum path (custom_vjp) — the training-time memory/computation profile
-    the reference has (torch SDPA training materializes probabilities in
-    backward too), while the forward keeps the flash kernel's speed. The
-    acoustic training crop (800-1600 frames) hits this path on TPU."""
+    Differentiable: the backward runs dedicated Pallas dQ and dK/dV kernels
+    that re-materialize probabilities blockwise from the forward's saved
+    per-row logsumexp — no [T, T] matrix ever lands in HBM in either pass
+    (the einsum path's f32 probability matrix is e.g. 327 MB per layer at
+    the acoustic recipe crop). The acoustic training crop (800-1600 frames)
+    hits this path on TPU."""
     b, h, t, dh = q.shape
     if valid_len is None:
         valid_len = t
-    valid_arr = jnp.asarray(valid_len, jnp.int32).reshape(1)
+    valid_arr = jnp.asarray(valid_len, jnp.int32).reshape(-1)
+    assert valid_arr.shape[0] in (1, b), f"valid_len must be scalar or [B]; got {valid_arr.shape}"
     cfg = (block_q, block_k, head_block, interpret)
     return _flash_core(cfg, valid_arr, q, k, v)
 
@@ -229,7 +242,7 @@ def _flash_bwd_dq_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
     # sublane-alignment proof)
     lse = lse_ref[0, 0][..., None]        # [hb, bq, 1]
     delta = delta_ref[0, 0][..., None]    # [hb, bq, 1]
-    valid_len = valid_ref[0]
+    valid_len = _read_valid(valid_ref)
 
     num_kb = kv_len // block_k
 
@@ -257,7 +270,7 @@ def _flash_bwd_dkv_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta
     _, hb, block_k, dh = k_ref.shape
     k = k_ref[0]
     v = v_ref[0]
-    valid_len = valid_ref[0]
+    valid_len = _read_valid(valid_ref)
     kb0 = pl.program_id(2) * block_k
     rows = kb0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k, 1), 1)
     key_live = rows < valid_len        # this block's key positions
@@ -403,9 +416,9 @@ def attend_flash_or_xla(q, k, v, *, key_mask=None, valid_len=None, causal=False,
                         min_seq_for_flash: int = 512):
     """Dispatch: dense non-causal attention on TPU with T >= threshold and
     tileable shapes goes through the Pallas kernel — including prefix-masked
-    bucket padding expressed as `valid_len` (scalar; the production serving
-    path). Arbitrary boolean `key_mask`, causal, small-T, and non-TPU cases
-    use the XLA einsum path."""
+    bucket padding expressed as `valid_len` (scalar, or [B] per-row; the
+    production serving paths). Arbitrary boolean `key_mask`, causal, small-T,
+    and non-TPU cases use the XLA einsum path."""
     from covomix_tpu.models.layers import attend
 
     t = q.shape[-2]

@@ -141,12 +141,19 @@ class Synthesizer:
         return np.asarray(mel[0, :t])
 
     def vocode(self, mel: np.ndarray) -> np.ndarray:
-        """[T, 80] mel -> waveform (trimmed to T*hop)."""
+        """[T, 80] mel -> waveform (trimmed to T*hop).
+
+        `valid_len` (traced scalar; one executable per bucket) re-zeroes pad
+        frames after every generator conv, so the bucketed result equals
+        exact-length (reference-convention) vocoding — without it the MEL_PAD
+        fill inside the generator's ~16-frame receptive field perturbs the
+        tail (tests/test_vocoder.py)."""
         t = len(mel)
         tb = max(self.bucket, _round_up(t, self.bucket))
         m = np.full((tb, mel.shape[1]), MEL_PAD, np.float32)
         m[:t] = mel
-        wav = np.asarray(self._voc_fn(self.vocoder_params, mel=jnp.asarray(m[None])))[0]
+        wav = np.asarray(self._voc_fn(self.vocoder_params, mel=jnp.asarray(m[None]),
+                                      valid_len=jnp.int32(t)))[0]
         return wav[: t * self.mel_cfg.hop_size]
 
     def _check_mode(self, mode: str) -> None:

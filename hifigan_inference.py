@@ -78,14 +78,26 @@ def main():
     def voc_fn(params, mel):
         """Vocode with mel frames bucketed to multiples of 64 so repeated
         calls reuse one compiled executable per bucket (each new length
-        otherwise recompiles — expensive with the fused Pallas tail). Output
-        is trimmed to the exact-length ConvTranspose chain result; pad frames
-        are silence (mel floor), matching vocoding trailing silence."""
+        otherwise recompiles).
+
+        Default path: `valid_len` (a traced scalar — still one executable per
+        bucket) re-zeroes pad frames after every generator conv, so the
+        trimmed output EQUALS exact-length (reference-convention) inference
+        (tests/test_vocoder.py::test_generator_valid_len_bucketed_equals_exact).
+        With --fuse_tail the Pallas kernel is static-length and pad frames
+        (mel floor ~ silence) sit inside the generator's ~16-frame receptive
+        field: the last ~0.3 s of each wav is an APPROXIMATION of
+        exact-length inference (bounded by the silence fill), traded for the
+        kernel's throughput."""
         t = mel.shape[1]
         tb = -(-t // 64) * 64
         if tb != t:
             mel = jnp.pad(mel, ((0, 0), (0, tb - t), (0, 0)), constant_values=MEL_PAD)
-        return _voc_fn(params, mel=mel)[:, : V.output_length(voc_cfg, t)]
+        if args.fuse_tail:
+            out = _voc_fn(params, mel=mel)
+        else:
+            out = _voc_fn(params, mel=mel, valid_len=jnp.int32(t))
+        return out[:, : V.output_length(voc_cfg, t)]
 
     os.makedirs(args.output_dir, exist_ok=True)
     rows = []

@@ -91,7 +91,7 @@ def main():
             ids = np.pad(ids, ((0, 0), (0, args.max_text_tokens - ids.shape[1])))
         key, sub = jax.random.split(key)
         t0 = time.time()
-        wav, gen = pipe(sub, ids, tok, mel)
+        wav, gen = pipe(sub, ids, tok, mel, prompt_lens=np.asarray(plens, np.int32))
         wav = np.asarray(wav)
         lengths = np.asarray(np.minimum(gen.lengths, gen.lengths2))  # frames per row pre-EOS
         wall = time.time() - t0

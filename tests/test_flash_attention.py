@@ -169,3 +169,45 @@ def test_acoustic_loss_grad_through_flash_kernel(monkeypatch):
     flat_f = jax.tree_util.tree_leaves(fl_grads)
     for a, b_ in zip(flat_f, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3, rtol=2e-3)
+
+
+def test_flash_per_row_valid_len():
+    """valid_len as a [B] vector: each batch row masks its own key prefix —
+    the batched-serving contract (serving.BatchedPipeline passes one decode
+    length per dialogue row)."""
+    key = jax.random.PRNGKey(11)
+    b, h, t, dh = 3, 2, 512, 32
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.float32)
+    vls = np.array([512, 130, 300], np.int32)
+    fn = jax.jit(lambda vl: flash_attention(q, k, v, valid_len=vl, block_q=256,
+                                            block_k=256, interpret=True))
+    with jax.default_matmul_precision("highest"):
+        out = np.asarray(fn(jnp.asarray(vls)))
+        for i, vl in enumerate(vls):
+            ref = attend(q[i:i + 1], k[i:i + 1, :, :vl], v[i:i + 1, :, :vl])
+            np.testing.assert_allclose(out[i:i + 1, :, :vl], np.asarray(ref[:, :, :vl]),
+                                       atol=2e-5, err_msg=f"row {i} vl={vl}")
+
+
+def test_flash_per_row_valid_len_grad():
+    key = jax.random.PRNGKey(12)
+    b, h, t, dh = 2, 2, 256, 16
+    q = jax.random.normal(key, (b, h, t, dh))
+    vls = jnp.asarray(np.array([256, 100], np.int32))
+    row_keep = (np.arange(t)[None, :] < np.asarray(vls)[:, None])[:, None, :, None]
+
+    def loss_flash(q):
+        o = flash_attention(q, q, q, valid_len=vls, block_q=128, block_k=128,
+                            interpret=True)
+        return ((o * row_keep) ** 2).sum()
+
+    def loss_ref(q):
+        km = jnp.arange(t)[None, :] < vls[:, None]
+        return ((attend(q, q, q, key_mask=km) * row_keep) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        gf = jax.grad(loss_flash)(q)
+        gr = jax.grad(loss_ref)(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-3, rtol=1e-3)

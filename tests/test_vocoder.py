@@ -151,3 +151,45 @@ def test_packed_mrf_matches_unpacked():
     np.testing.assert_allclose(np.asarray(packed), np.asarray(ref), atol=1e-5)
     # 62-channel stage must NOT pack (3C=186 is FLOP-bound territory)
     assert not V._can_pack_mrf(cfg, 62)
+
+
+def test_generator_valid_len_bucketed_equals_exact():
+    """Bucket-padded vocoding with valid_len must equal exact-length vocoding
+    bit-for-bit over the valid output span — pad frames are re-zeroed after
+    every conv so the generator's receptive field sees the same zero padding
+    an exact-length run would (fixes the hifigan_inference bucketing
+    approximation flagged in round-2 ADVICE). Config chosen so the first MRF
+    stage runs UNPACKED (3*48 > 128) and later stages packed — both paths
+    masked."""
+    cfg = V.VocoderConfig(upsample_initial_channel=96)
+    params = jax.jit(V.init_generator, static_argnums=1)(jax.random.PRNGKey(3), cfg)
+    rs = np.random.RandomState(0)
+    t, tb = 11, 24
+    mel = rs.randn(1, t, 80).astype(np.float32)
+    mel_padded = np.full((1, tb, 80), -15.0, np.float32)  # MEL_PAD fill
+    mel_padded[0, :t] = mel[0]
+    with jax.default_matmul_precision("highest"):
+        exact = np.asarray(V.generator(params, cfg, jnp.asarray(mel)))[0]
+        bucketed = np.asarray(V.generator(params, cfg, jnp.asarray(mel_padded),
+                                          valid_len=jnp.int32(t)))[0]
+        unmasked = np.asarray(V.generator(params, cfg, jnp.asarray(mel_padded)))[0]
+    n = len(exact)
+    assert np.abs(bucketed[:n] - exact).max() < 1e-5
+    # documented: without the mask the pad fill perturbs the tail
+    assert np.abs(unmasked[:n] - exact).max() > 1e-4
+
+
+def test_generator_valid_len_per_row():
+    """[B] per-row valid_len: each row equals its own exact-length run."""
+    cfg = V.VocoderConfig(upsample_initial_channel=32)
+    params = jax.jit(V.init_generator, static_argnums=1)(jax.random.PRNGKey(4), cfg)
+    rs = np.random.RandomState(1)
+    tb = 16
+    lens = [16, 5, 9]
+    mel = rs.randn(3, tb, 80).astype(np.float32)
+    with jax.default_matmul_precision("highest"):
+        batched = np.asarray(V.generator(params, cfg, jnp.asarray(mel),
+                                         valid_len=jnp.asarray(np.array(lens, np.int32))))
+        for i, n in enumerate(lens):
+            exact = np.asarray(V.generator(params, cfg, jnp.asarray(mel[i:i + 1, :n])))[0]
+            assert np.abs(batched[i, : len(exact)] - exact).max() < 1e-5, f"row {i}"
