@@ -19,6 +19,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <numeric>
 #include <vector>
 
@@ -143,7 +144,19 @@ void balanced_assignment_f32(const float* scores, int64_t T, int64_t E,
         const int64_t sel = std::min(take + 1, nc);
         std::partial_sort(cand.begin(), cand.begin() + sel, cand.begin() + nc,
                           [&](int64_t a, int64_t b) { return value(a) > value(b); });
-        const float runner_up = (nc > take) ? value(cand[take]) : smin - cost[0] - 1.0f;
+        // when every candidate is taken (nc == take) the runner-up must LOWER
+        // bound all current candidate values so bids stay positive (prices
+        // monotone non-decreasing — the auction's eps-optimality invariant;
+        // matches the numpy fallback's value.min() - 1)
+        float runner_up;
+        if (nc > take) {
+            runner_up = value(cand[take]);
+        } else {
+            runner_up = std::numeric_limits<float>::infinity();
+            for (int64_t j = 0; j < nc; ++j)
+                runner_up = std::min(runner_up, value(cand[j]));
+            runner_up -= 1.0f;
+        }
         for (int64_t j = 0; j < take; ++j) {
             const int64_t t = cand[j];
             const float bid = value(t) - runner_up + eps;

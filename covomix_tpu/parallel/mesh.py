@@ -27,8 +27,12 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
     if dp is None:
         dp = n // tp
     assert dp * tp <= n, f"mesh {dp}x{tp} needs more than the {n} available devices"
-    # an explicitly smaller mesh runs on a device subset (e.g. train.py
-    # --dp 1 on a multi-chip host, or a serving batch not divisible by n)
+    if dp * tp < n:
+        # an explicitly smaller mesh runs on a device subset (e.g. train.py
+        # --dp 1 on a multi-chip host, or a serving batch not divisible by n);
+        # say so — a typoed --dp/--tp silently training on fewer chips is a
+        # costly surprise (round-2 ADVICE)
+        print(f"note: mesh dp={dp} x tp={tp} uses {dp * tp} of {n} available devices")
     arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 

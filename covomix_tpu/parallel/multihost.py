@@ -1,0 +1,127 @@
+"""Multi-host distributed initialization + process-aware data feeding.
+
+The reference ecosystem rendezvouses across nodes with torch.distributed —
+tcp:// / file:// init methods, SLURM auto-detection, and a torch_xla path
+(fairseq/distributed/utils.py:96-156, :273-300, :390-405). The TPU-native
+equivalent is tiny by design: `jax.distributed.initialize()` once per host
+process, after which `jax.devices()` is the GLOBAL device list and a single
+`Mesh` over it replaces every process-group/collective wrapper in that file
+(SURVEY §2.6 comm-backend row). What remains host-side is data feeding: each
+process loads only its own shard of the global batch and assembles global
+arrays with `jax.make_array_from_process_local_data`.
+
+Single-process behavior is exactly degenerate (process_count()==1: initialize
+is a no-op, the batch slice is the whole batch, global assembly ==
+device_put) — asserted by tests/test_multihost.py, which is as far as this
+rig can test (one host); the surface mirrors what fairseq's gloo-spawn tests
+cover without a cluster (SURVEY §4)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Bring up the JAX distributed runtime for multi-host training/serving.
+
+    Resolution order (mirroring fairseq's rendezvous surface,
+    distributed/utils.py:96-156):
+      1. explicit args (the tcp://host:port equivalent — pass
+         coordinator_address='host:port', num_processes, process_id);
+      2. SLURM auto-detect (SLURM_PROCID / SLURM_NTASKS present and ntasks>1);
+      3. TPU-pod auto-detect: bare `jax.distributed.initialize()` (JAX reads
+         the TPU metadata — the torch_xla path's equivalent, utils.py:390-405).
+
+    Returns True if the distributed runtime was initialized, False for the
+    single-process degenerate case (nothing to do). Safe to call once per
+    process, before first device use."""
+    if jax.process_count() > 1:
+        return True  # already initialized
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    slurm_n = int(os.environ.get("SLURM_NTASKS", "1"))
+    if slurm_n > 1:
+        # jax's SlurmCluster auto-detect resolves coordinator + ids from the
+        # SLURM_* env (the reference's _infer_slurm_init equivalent)
+        jax.distributed.initialize()
+        return True
+    if num_processes is not None and num_processes > 1:
+        # TPU-pod metadata auto-detect
+        jax.distributed.initialize()
+        return True
+    return False
+
+
+def process_batch_slice(global_batch: int) -> slice:
+    """The slice of the GLOBAL batch this host process must load.
+
+    Each host feeds only its own rows (the DistributedSampler contract,
+    hifi-gan/train.py:91, without any sampler object): global batch G over P
+    processes -> process i loads rows [i*G/P, (i+1)*G/P)."""
+    p = jax.process_count()
+    i = jax.process_index()
+    assert global_batch % p == 0, (
+        f"global batch {global_batch} must divide by process count {p}")
+    per = global_batch // p
+    return slice(i * per, (i + 1) * per)
+
+
+def global_batch_from_local(mesh, local_batch: Any, global_batch_size: int) -> Any:
+    """Assemble global sharded arrays from each host's local batch shard.
+
+    `local_batch`: pytree of numpy arrays whose leading axis is this
+    process's slice of the global batch (see process_batch_slice).
+    Single-process this is exactly `shard_batch` (device_put with a 'dp'
+    NamedSharding); multi-host it uses
+    jax.make_array_from_process_local_data so no host ever materializes the
+    full global batch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(leaf):
+        leaf = np.asarray(leaf)
+        nd = leaf.ndim
+        spec = P(*(["dp"] + [None] * (nd - 1))) if nd else P()
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(leaf, sharding)
+        global_shape = (global_batch_size,) + leaf.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, leaf, global_shape)
+
+    return jax.tree_util.tree_map(put, local_batch)
+
+
+class ProcessShardDataset:
+    """Rank-strided dataset view: process i of P sees items i, i+P, i+2P, ...
+    (the DistributedSampler contract, hifi-gan/train.py:91). Degenerate for a
+    single process (index 0 of 1 == identity)."""
+
+    def __init__(self, dataset, index: Optional[int] = None, count: Optional[int] = None):
+        self.dataset = dataset
+        self.index = jax.process_index() if index is None else index
+        self.count = jax.process_count() if count is None else count
+
+    def __len__(self) -> int:
+        n, r = divmod(len(self.dataset), self.count)
+        return n + (1 if self.index < r else 0)
+
+    def __getitem__(self, i: int):
+        return self.dataset[i * self.count + self.index]
+
+
+def is_primary() -> bool:
+    """True on the process that should write checkpoints/logs (rank-0
+    convention, conditional on jax.process_index)."""
+    return jax.process_index() == 0

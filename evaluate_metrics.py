@@ -46,7 +46,7 @@ def main():
         mr = np.asarray(mel_spectrogram(r[None], mel_cfg))[0].T
         rows.append({
             "file": name,
-            "pesq_nb": round(pesq_nb(r, g, args.sample_rate), 4),
+            "pesq_nb_approx": round(pesq_nb(r, g, args.sample_rate), 4),
             "si_sdr": round(si_sdr(r, g), 3),
             "stoi": round(stoi(r, g, args.sample_rate), 4),
             "estoi": round(estoi(r, g, args.sample_rate), 4),
@@ -60,7 +60,7 @@ def main():
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
         w.writerows(rows)
-        for key in ("pesq_nb", "si_sdr", "stoi", "estoi", "mcd_db"):
+        for key in ("pesq_nb_approx", "si_sdr", "stoi", "estoi", "mcd_db"):
             m, s = mean_std(np.asarray([row[key] for row in rows], float))
             f.write(f"# {key}: {m:.4f} +- {s:.4f}\n")
             print(f"{key}: {m:.4f} +- {s:.4f}")

@@ -114,7 +114,7 @@ def main():
             mel_out = np.asarray(mel_spectrogram(out[None], mel_cfg))[0].T
             rows.append({
                 "file": os.path.basename(f),
-                "pesq_nb": round(pesq_nb(wav[:n], out[:n], sr), 4),
+                "pesq_nb_approx": round(pesq_nb(wav[:n], out[:n], sr), 4),
                 "si_snr": round(si_sdr(wav[:n], out[:n]), 3),
                 "stoi": round(stoi(wav[:n], out[:n], sr), 4),
                 "estoi": round(estoi(wav[:n], out[:n], sr), 4),

@@ -32,9 +32,20 @@ def main():
     p.add_argument("--seed", type=int, default=30)
     p.add_argument("--bert_vocab", type=str, default=None)
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host serving: jax.distributed rendezvous, then each "
+                        "host serves its rank-strided slice of the scripts on its "
+                        "LOCAL chips (serving is embarrassingly data-parallel — no "
+                        "cross-host collectives needed)")
     args = p.parse_args()
 
     import jax
+
+    from covomix_tpu.parallel import multihost as MH
+
+    if args.multihost:
+        MH.initialize()
+
     import numpy as np
 
     from covomix_tpu.audio import save_wav
@@ -44,12 +55,13 @@ def main():
 
     synth = load_models(args)  # reuse checkpoint loading (npz or torch)
     # dp must divide the serving batch (rows are sharded over 'dp'); use the
-    # largest divisor of the batch that fits the device count
-    n_dev = jax.device_count()
+    # largest divisor of the batch that fits the local device count
+    local_devices = jax.local_devices()
+    n_dev = len(local_devices)
     dp = max(d for d in range(1, n_dev + 1) if args.batch % d == 0)
     if dp < n_dev:
         print(f"note: batch {args.batch} not divisible by {n_dev} devices; using dp={dp}")
-    mesh = make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp]) if dp > 1 else None
+    mesh = make_mesh(dp=dp, tp=1, devices=local_devices[:dp]) if dp > 1 else None
     pipe = BatchedPipeline(
         synth.t2s_params, synth.t2s_cfg, synth.acoustic_params, synth.acoustic_cfg,
         synth.vocoder_params, synth.vocoder_cfg, mesh=mesh,
@@ -57,6 +69,9 @@ def main():
 
     os.makedirs(args.saved_dir, exist_ok=True)
     scripts = sorted(glob.glob(os.path.join(args.text_dir, "*.txt")))
+    if jax.process_count() > 1:
+        scripts = scripts[jax.process_index():: jax.process_count()]
+        print(f"process {jax.process_index()}/{jax.process_count()}: {len(scripts)} scripts")
     print(f"{len(scripts)} scripts, batch {args.batch}, devices {n_dev}")
 
     key = jax.random.PRNGKey(args.seed)

@@ -1,0 +1,89 @@
+"""Multi-host wiring (parallel/multihost.py): single-process degenerate
+behavior + the rank-strided data-feeding contract.
+
+The rig has one host, so these tests assert exactly what fairseq's
+gloo-spawn tests assert without a cluster (SURVEY §4): the initialization
+surface resolves correctly, the per-process data slicing is the
+DistributedSampler contract, and the degenerate (P=1) path is bit-identical
+to the single-host path. Ref: fairseq/distributed/utils.py:96-156, :273-300."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from covomix_tpu.parallel import multihost as MH
+from covomix_tpu.parallel.mesh import make_mesh
+from covomix_tpu.parallel.train_step import shard_batch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_initialize_single_process_noop():
+    env_backup = {k: os.environ.pop(k) for k in ("SLURM_NTASKS",) if k in os.environ}
+    try:
+        assert MH.initialize() is False          # nothing to rendezvous with
+        assert jax.process_count() == 1
+        assert MH.is_primary()
+    finally:
+        os.environ.update(env_backup)
+
+
+def test_process_batch_slice_degenerate():
+    s = MH.process_batch_slice(8)
+    assert (s.start, s.stop) == (0, 8)
+
+
+def test_process_shard_dataset_strides():
+    data = list(range(10))
+    # explicit 3-way split (simulating 3 hosts on one)
+    shards = [MH.ProcessShardDataset(data, index=i, count=3) for i in range(3)]
+    assert [len(s) for s in shards] == [4, 3, 3]
+    seen = sorted(x for s in shards for x in (s[i] for i in range(len(s))))
+    assert seen == data                           # disjoint and complete
+    # degenerate: identity
+    one = MH.ProcessShardDataset(data)
+    assert len(one) == 10 and [one[i] for i in range(10)] == data
+
+
+def test_global_batch_from_local_degenerate_equals_shard_batch():
+    mesh = make_mesh(dp=jax.device_count(), tp=1)
+    batch = {"x": np.arange(8 * 3, dtype=np.float32).reshape(8, 3),
+             "ids": np.arange(8, dtype=np.int32)}
+    a = MH.global_batch_from_local(mesh, batch, 8)
+    b = shard_batch(mesh, batch)
+    for k in batch:
+        assert a[k].sharding == b[k].sharding
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_train_cli_multihost_flag_degenerate(tmp_path):
+    """--multihost on one process must behave exactly like a normal run
+    (initialize no-ops, the process slice is the whole batch)."""
+    rng = np.random.RandomState(2)
+    data = tmp_path / "data"
+    (data / "train").mkdir(parents=True)
+    for i in range(4):
+        t = 40 + 8 * i
+        np.save(str(data / "train" / f"u{i}.mel.npy"), rng.randn(80, t).astype(np.float32))
+        np.save(str(data / "train" / f"u{i}.hubert_code.npy"),
+                rng.randint(0, 500, size=t).astype(str))
+    logs = tmp_path / "logs"
+    env = dict(os.environ, COVOMIX_FORCE_CPU="1")
+    r = subprocess.run([sys.executable, os.path.join(REPO, "train.py"),
+                        "--base_dir", str(data), "--format", "hubert_fisher",
+                        "--log_dir", str(logs), "--run_name", "mh",
+                        "--max_steps", "2", "--batch_size", "2", "--multihost",
+                        "--CoVoMix_dim_transformer", "32", "--CoVoMix_depth", "2",
+                        "--CoVoMix_heads", "2", "--CoVoMix_dim_head", "16",
+                        "--ckpt_every", "2", "--eval_every", "1000", "--dp", "1",
+                        "--log_every", "1"],
+                       capture_output=True, text=True, timeout=1500, env=env,
+                       cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2500:]
+    lines = [json.loads(l) for l in open(logs / "mh" / "metrics.jsonl") if l.strip()]
+    assert any("loss" in json.dumps(l) for l in lines)

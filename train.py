@@ -43,6 +43,15 @@ def build_argparser():
     t.add_argument("--no_wandb", action="store_true", help="(parity flag; logging is JSONL+TensorBoard-format)")
     t.add_argument("--max_steps", type=int, default=0, help="stop after N steps (0 = unlimited)")
     t.add_argument("--log_every", type=int, default=50)
+    t.add_argument("--multihost", action="store_true",
+                   help="bring up jax.distributed across hosts (TPU-pod/SLURM "
+                        "auto-detect); --batch_size is then the GLOBAL batch and "
+                        "each host loads only its shard")
+    t.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port rendezvous (the tcp:// init_method equivalent, "
+                        "fairseq/distributed/utils.py:96-156); implies --multihost")
+    t.add_argument("--num_processes", type=int, default=None)
+    t.add_argument("--process_id", type=int, default=None)
     # model (CoVoMixModel.add_argparse_args parity)
     m = p.add_argument_group("CoVoMixModel")
     m.add_argument("--lr", type=float, default=1e-4)
@@ -72,6 +81,11 @@ def build_argparser():
     # data (SpecsDataModule.add_argparse_args parity)
     d = p.add_argument_group("DataModule")
     d.add_argument("--base_dir", type=str, required=True)
+    d.add_argument("--dev_base_dir", "--val_dir", type=str, default=None, dest="dev_base_dir",
+                   help="held-out eval dir (SpecsDataModule's separate train/val builds, "
+                        "data_module.py:589, :720-752). Default: a deterministic 10%% "
+                        "file split held out of --base_dir so checkpoint top-k never "
+                        "scores training files")
     d.add_argument("--format", type=str, default="hubert_fisher")
     d.add_argument("--batch_size", type=int, default=8)
     d.add_argument("--num_workers", type=int, default=0)
@@ -93,16 +107,25 @@ def main():
     from covomix_tpu.data.datasets import CoVoMixDataset, collate_acoustic, collate_t2s, data_loader
     from covomix_tpu.data.tokenizer import load_covomix_tokenizer
     from covomix_tpu.models import acoustic as A, text2semantic as T
+    from covomix_tpu.parallel import multihost as MH
     from covomix_tpu.parallel.mesh import make_mesh
     from covomix_tpu.parallel.train_step import init_sharded_state, make_sharded_train_step, shard_batch
     from covomix_tpu.train import evaluate as E
     from covomix_tpu.train.loop import TrainConfig, acoustic_loss_fn, t2s_loss_fn
 
+    # multi-host rendezvous BEFORE first device use; after this jax.devices()
+    # is the global list and the mesh below spans every host's chips
+    if args.multihost or args.coordinator_address:
+        MH.initialize(args.coordinator_address, args.num_processes, args.process_id)
+    n_proc = jax.process_count()
+    primary = MH.is_primary()
+
     run_name = args.run_name or f"{'t2s' if args.text2semantic else 'acoustic'}_{int(time.time())}"
     run_dir = os.path.join(args.log_dir, run_name)
     os.makedirs(run_dir, exist_ok=True)
-    with open(os.path.join(run_dir, "args.txt"), "w") as f:  # train.py:50-51 parity
-        json.dump(vars(args), f, indent=2)
+    if primary:
+        with open(os.path.join(run_dir, "args.txt"), "w") as f:  # train.py:50-51 parity
+            json.dump(vars(args), f, indent=2)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     key = jax.random.PRNGKey(args.seed)
@@ -135,13 +158,39 @@ def main():
     if len(dataset) == 0:
         print(f"no training files found under {args.base_dir} for format={args.format}", file=sys.stderr)
         sys.exit(1)
-    steps_per_epoch = args.steps_per_epoch or max(1, len(dataset) // args.batch_size)
+    # held-out validation (reference dev_base_dir/dev_subset, shuffle_spec
+    # False for the val build — data_module.py:734-742); without an explicit
+    # dir, hold every 10th file out of training deterministically
+    if args.dev_base_dir:
+        val_dataset = CoVoMixDataset(args.dev_base_dir, format=args.format,
+                                     random_mask=args.random_mask, shuffle_spec=False,
+                                     seed=args.seed)
+    elif len(dataset.files) >= 10:
+        val_files = dataset.files[::10]
+        dataset.files = [f for i, f in enumerate(dataset.files) if i % 10]
+        dataset.short_files = dataset.files
+        val_dataset = CoVoMixDataset(args.base_dir, format=args.format,
+                                     random_mask=args.random_mask, shuffle_spec=False,
+                                     seed=args.seed, files=val_files)
+    else:
+        val_dataset = dataset  # too few files to split (smoke runs)
+        if primary:
+            print("note: <10 training files; eval scores training files", file=sys.stderr)
+    if len(val_dataset) == 0:
+        sys.exit(f"no eval files found under {args.dev_base_dir}")
+    # multihost: --batch_size is the GLOBAL batch; each process loads a
+    # rank-strided shard of the files and 1/n_proc of the rows
+    assert args.batch_size % n_proc == 0, f"--batch_size {args.batch_size} must divide by {n_proc} processes"
+    local_bs = args.batch_size // n_proc
+    if n_proc > 1:
+        dataset = MH.ProcessShardDataset(dataset)
+    steps_per_epoch = args.steps_per_epoch or max(1, len(dataset) // local_bs)
     if args.text2semantic:
         tok = load_covomix_tokenizer(args.bert_vocab)
         collate = lambda items: collate_t2s(items, tok)
     else:
         collate = collate_acoustic
-    loader = data_loader(dataset, args.batch_size, collate, seed=args.seed,
+    loader = data_loader(dataset, local_bs, collate, seed=args.seed,
                          num_workers=args.num_workers)
 
     # ---- mesh + state
@@ -149,6 +198,10 @@ def main():
         sys.exit("--pp/--sp apply to the acoustic model only")
     if args.pp > 1 and args.sp > 1:
         sys.exit("choose one of --pp / --sp")
+    if n_proc > 1 and args.fsdp:
+        sys.exit("--fsdp with --multihost needs an all-gather before host "
+                 "checkpointing (params are not host-addressable); run multihost "
+                 "with replicated params (dp/tp) for now")
     train_cfg = TrainConfig(lr=args.lr, ema_decay=args.ema_decay, use_lr_schedule=args.lr_scheduler,
                             total_epochs=args.total_epochs, wake_up_epochs=args.wake_up_epochs,
                             decay_start_epoch=args.decay_start_epoch, steps_per_epoch=steps_per_epoch)
@@ -198,6 +251,18 @@ def main():
         ckpt_dir = os.path.join(run_dir, "checkpoints")
         # save_last + top-10 on 'l2' (reference train.py:72-76)
         ckpt_mgr = cio.TopKCheckpointer(ckpt_dir, top_k=10, mode="min")
+
+        def save_canonical_ema(step_i: int) -> None:
+            """Under --pp the train state stores params in the
+            pipeline-stacked {'stacked','rest'} layout (resume needs it
+            pp-local); generation CLIs and non-pp runs expect the canonical
+            {'layers': [...]} tree. Write a sidecar ema_canonical.npz in the
+            interchange layout so a pp-trained model loads everywhere."""
+            if pp_unstack is None:
+                return
+            cio.save_params(os.path.join(ckpt_dir, "ema_canonical.npz"),
+                            pp_unstack(jax.device_get(state.ema_params)),
+                            meta={"step": step_i, "config": model_cfg.__dict__})
         if args.resume:
             latest = cio.latest_step(ckpt_dir)
             if latest is not None:
@@ -214,11 +279,16 @@ def main():
         watchdog = Watchdog(timeout_s=1800.0, name=run_name)
         watchdog.__enter__()
         for step_i in range(start_step, total_steps):
-            batch = shard_batch(mesh, next(loader))
+            if n_proc > 1:
+                # host-local rows -> global sharded arrays (no host ever
+                # materializes the full global batch)
+                batch = MH.global_batch_from_local(mesh, next(loader), args.batch_size)
+            else:
+                batch = shard_batch(mesh, next(loader))
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, batch, sub)
             watchdog.beat(step_i + 1)
-            if (step_i + 1) % args.log_every == 0:
+            if (step_i + 1) % args.log_every == 0 and primary:
                 loss = float(metrics["loss"])
                 now = time.time()
                 sps = (step_i + 1 - step_last) / max(now - t_last, 1e-9)
@@ -228,8 +298,9 @@ def main():
                 print(json.dumps({"step": step_i + 1, **rec}), flush=True)
                 logger.log(step_i + 1, rec)
             eval_metric = None
-            if args.num_eval_files and (step_i + 1) % args.eval_every == 0:
-                eval_items = [dataset[i % len(dataset)] for i in range(min(args.num_eval_files, len(dataset)))]
+            if args.num_eval_files and (step_i + 1) % args.eval_every == 0 and primary:
+                eval_items = [val_dataset[i % len(val_dataset)]
+                              for i in range(min(args.num_eval_files, len(val_dataset)))]
                 eval_batches = [collate(eval_items[i : i + args.batch_size]) for i in range(0, len(eval_items), args.batch_size)]
                 key, sub = jax.random.split(key)
                 ema = jax.device_get(state.ema_params)  # eval swaps EMA in (conditional_model.py:203-217)
@@ -242,12 +313,17 @@ def main():
                 print("eval:", json.dumps({k: float(v) for k, v in ev.items()}), flush=True)
                 logger.log(step_i + 1, ev, prefix="eval_")
                 eval_metric = float(ev.get("l2", ev.get("loss", next(iter(ev.values())))))
-            if (step_i + 1) % args.ckpt_every == 0 or eval_metric is not None:
+            if ((step_i + 1) % args.ckpt_every == 0 or eval_metric is not None) and primary:
+                # rank-0 writes (conditional on process_index; multihost with
+                # --fsdp would need a gather here — guarded at startup)
                 ckpt_mgr.save(jax.device_get(state), step_i + 1, metric=eval_metric)
+                save_canonical_ema(step_i + 1)
         watchdog.__exit__()
 
-        ckpt_mgr.save(jax.device_get(state), total_steps)
-        print(f"done: {total_steps} steps -> {ckpt_dir}")
+        if primary:
+            ckpt_mgr.save(jax.device_get(state), total_steps)
+            save_canonical_ema(total_steps)
+            print(f"done: {total_steps} steps -> {ckpt_dir}")
 
 
 if __name__ == "__main__":
