@@ -219,9 +219,15 @@ class WordPieceTokenizer:
         return " ".join(out)
 
 
-def load_covomix_tokenizer(vocab_path: Optional[str] = None) -> WordPieceTokenizer:
+def load_covomix_tokenizer(vocab_path: Optional[str] = None, *,
+                           strict: bool = False) -> WordPieceTokenizer:
     """The tokenizer the CoVoMix CLIs build: bert-base-uncased (+6 added tokens)
-    (monologue_generation.py:92-104). Searches the HF cache if no path given."""
+    (monologue_generation.py:92-104). Searches the HF cache if no path given.
+
+    strict=True refuses to fall back to the char-level vocab and raises
+    instead: the fallback's ids are checkpoint-incompatible, so a trained T2S
+    model would silently decode garbage. The generation/serving CLIs pass
+    strict unless --allow_fallback_vocab is given (smoke/random-weight use)."""
     if vocab_path is None:
         for cand in (
             os.environ.get("COVOMIX_BERT_VOCAB", ""),
@@ -236,6 +242,14 @@ def load_covomix_tokenizer(vocab_path: Optional[str] = None) -> WordPieceTokeniz
                 vocab_path = cand
             if vocab_path:
                 break
+    if strict and not (vocab_path and os.path.isfile(vocab_path)):
+        raise FileNotFoundError(
+            "No bert-base-uncased vocab.txt found (searched --bert_vocab, "
+            "$COVOMIX_BERT_VOCAB, the HF cache). Refusing the char-level "
+            "fallback vocab: its token ids are incompatible with any T2S "
+            "checkpoint trained on the real vocab and would decode garbage. "
+            "Pass --bert_vocab <vocab.txt>, or --allow_fallback_vocab for "
+            "random-weight smoke runs.")
     return WordPieceTokenizer(vocab_path, added_tokens=COVOMIX_ADDED_TOKENS)
 
 

@@ -468,11 +468,16 @@ def sample_adaptive(
     Returns (y, num_steps_taken). Typically fewer field evaluations than the
     16-step midpoint sampler for smooth (trained) fields at these tolerances.
 
-    NOTE: run with dtype=float32 — bf16 field evaluations put the embedded
-    error estimate at the bf16 noise floor (~1e-2 relative), far above the
-    reference tolerances, so the controller keeps rejecting steps until
-    max_steps. The production serving path uses the midpoint sampler (the
-    reference's quality-validated default)."""
+    bf16-capable: stage derivatives k_s and the y/err accumulations are kept
+    in f32 regardless of the field compute dtype, and the error scale carries
+    an additive rounding-noise floor eps(dtype)*h*rms_feat(k) — under bf16 the
+    embedded 5(4) estimate is dominated by per-stage output rounding
+    (err_noise ~ sqrt(sum E_s^2)*eps*h*|k| >> the true truncation error at
+    the reference tolerances), so without the floor the controller rejects
+    every step down to h ~ 0 (the round-2 f32-only limitation). With it the
+    controller tracks the true error wherever it is resolvable and the
+    solution accuracy is bounded by the bf16 noise floor itself (~1e-3
+    relative — the same bound the bf16 midpoint serving path carries)."""
     b, t = cond.shape[0], cond.shape[1]
     y0 = jax.random.normal(key, (b, t, cfg.mel_dim), jnp.float32)
     use_cfg = cond_scale != 1.0
@@ -500,22 +505,36 @@ def sample_adaptive(
 
     n_stages = 7
 
+    # Low-precision noise floor for the error scale: rounding inside the bf16
+    # field layers injects noise into each k_s element proportional to the
+    # FRAME's derivative scale (the matmul row magnitudes), not the element's
+    # own |k| — so the floor is eps * h * rms_features(k) per [B, T] frame
+    # (measured: elementwise |k|-proportional floors leave small-|k| elements
+    # 14x over floor and the controller still rejects). eps=0 for f32+ — the
+    # floor vanishes and the controller is unchanged.
+    noise_eps = float(jnp.finfo(dtype).eps) if jnp.finfo(dtype).bits < 32 else 0.0
+
     def rk_step(y, tt, h):
         ks = []
         for s in range(n_stages):
             y_s = y
             for j, a in enumerate(_TSIT5_A[s]):
                 y_s = y_s + h * a * ks[j]
-            ks.append(field(y_s, tt + _TSIT5_C[s] * h))
+            # k_s in f32: accumulation noise must not add to the rounding
+            # noise already priced into the floor term
+            ks.append(field(y_s, tt + _TSIT5_C[s] * h).astype(jnp.float32))
         y_new = y
         err = jnp.zeros_like(y)
+        ksq = jnp.zeros_like(y)
         for s in range(n_stages):
             y_new = y_new + h * _TSIT5_B[s] * ks[s]
             err = err + h * _TSIT5_E[s] * ks[s]
-        return y_new, err
+            ksq = ksq + jnp.square(ks[s])
+        krms = jnp.sqrt(jnp.mean(ksq / n_stages, axis=-1, keepdims=True))  # [B, T, 1]
+        return y_new, err, krms
 
-    def err_norm(err, y, y_new):
-        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+    def err_norm(err, y, y_new, h, krms):
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new)) + noise_eps * h * krms
         return jnp.sqrt(jnp.mean(jnp.square(err / scale)))
 
     def cond_fn(state):
@@ -525,8 +544,8 @@ def sample_adaptive(
     def body_fn(state):
         tt, y, h, steps, _ = state
         h = jnp.minimum(h, 1.0 - tt)
-        y_new, err = rk_step(y, tt, h)
-        en = err_norm(err, y, y_new)
+        y_new, err, krms = rk_step(y, tt, h)
+        en = err_norm(err, y, y_new, h, krms)
         accept = en <= 1.0
         # integral controller: h *= clip(0.9 * en^(-1/5), 0.2, 5)
         factor = jnp.clip(0.9 * jnp.power(jnp.maximum(en, 1e-10), -0.2), 0.2, 5.0)

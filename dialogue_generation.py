@@ -37,6 +37,8 @@ def main():
     parser.add_argument("--seed", type=int, default=30)
     parser.add_argument("--mode", type=str, choices=["covosingle", "covosinx", "covomix"], default="covomix")
     parser.add_argument("--bert_vocab", type=str, default=None)
+    parser.add_argument("--allow_fallback_vocab", action="store_true",
+                        help="permit the checkpoint-incompatible char-level fallback vocab")
     parser.add_argument("--bf16", action="store_true", help="force bfloat16 compute (default on TPU)")
     parser.add_argument("--f32", action="store_true", help="force float32 compute")
     args = parser.parse_args()

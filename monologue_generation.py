@@ -103,7 +103,8 @@ def load_models(args):
     t2s_params, t2s_cfg = load_any(args.t2s_ckpt, T.T2SConfig, "t2s")
     ac_params, ac_cfg = load_any(args.acous_ckpt, A.AcousticConfig, "acoustic")
     voc_params, voc_cfg = load_any(args.hifigan_ckpt, V.VocoderConfig, "vocoder")
-    tok = load_covomix_tokenizer(args.bert_vocab)
+    tok = load_covomix_tokenizer(args.bert_vocab,
+                                 strict=not getattr(args, "allow_fallback_vocab", False))
     mel_cfg = MelConfig(sample_rate=voc_cfg.sampling_rate)
     import jax
 
@@ -132,6 +133,9 @@ def main():
     parser.add_argument("--seed", type=int, default=30)
     parser.add_argument("--mode", type=str, choices=["covosingle", "covosinx", "covomix"], default="covosingle")
     parser.add_argument("--bert_vocab", type=str, default=None, help="path to bert-base-uncased vocab.txt")
+    parser.add_argument("--allow_fallback_vocab", action="store_true",
+                        help="permit the checkpoint-incompatible char-level fallback vocab "
+                             "(random-weight smoke runs only)")
     parser.add_argument("--bf16", action="store_true", help="force bfloat16 compute (default on TPU)")
     parser.add_argument("--f32", action="store_true", help="force float32 compute")
     args = parser.parse_args()

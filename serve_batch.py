@@ -31,6 +31,8 @@ def main():
     p.add_argument("--max_text_tokens", type=int, default=128)
     p.add_argument("--seed", type=int, default=30)
     p.add_argument("--bert_vocab", type=str, default=None)
+    p.add_argument("--allow_fallback_vocab", action="store_true",
+                   help="permit the checkpoint-incompatible char-level fallback vocab")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--multihost", action="store_true",
                    help="multi-host serving: jax.distributed rendezvous, then each "

@@ -63,7 +63,10 @@ def tiny_assets(tmp_path_factory):
 
 def _run(script, args, cwd):
     env = dict(os.environ, COVOMIX_FORCE_CPU="1")
-    return subprocess.run([sys.executable, os.path.join(REPO, script)] + args,
+    # random-weight smoke checkpoints: the char-fallback vocab is fine here,
+    # and the CLIs now refuse it without this flag (checkpoint-garbage trap)
+    return subprocess.run([sys.executable, os.path.join(REPO, script)] + args
+                          + ["--allow_fallback_vocab"],
                           capture_output=True, text=True, timeout=900, env=env, cwd=cwd)
 
 

@@ -102,7 +102,7 @@ def test_serve_batch_cli(tmp_path):
         "--hifigan_ckpt", str(tmp_path / "vocoder.npz"),
         "--text_dir", str(texts), "--prompt_dir", str(prompts),
         "--saved_dir", str(out), "--batch", "2", "--decode_len", "16",
-        "--max_text_tokens", "32"], cwd=str(tmp_path), timeout=1200)
+        "--max_text_tokens", "32", "--allow_fallback_vocab"], cwd=str(tmp_path), timeout=1200)
     assert r.returncode == 0, r.stderr[-1500:]
     wavs = [f for f in os.listdir(out) if f.endswith(".wav")]
     assert len(wavs) == 2, (r.stdout[-800:], list(os.listdir(out)))

@@ -48,6 +48,24 @@ def test_batch_encode_padding(vocab_file):
     assert (ids[0][~mask[0]] == tok.pad_id).all()
 
 
+def test_tokenizer_strict_refuses_fallback(vocab_file, monkeypatch):
+    """strict=True raises instead of building the checkpoint-incompatible
+    char-fallback tokenizer (the silent-garbage trap: fallback ids decode
+    garbage through any T2S checkpoint trained on the real vocab); with a
+    real vocab file, strict succeeds."""
+    from covomix_tpu.data.tokenizer import load_covomix_tokenizer
+
+    monkeypatch.delenv("COVOMIX_BERT_VOCAB", raising=False)
+    monkeypatch.setenv("HOME", "/nonexistent_home")  # hide any HF cache
+    with pytest.raises(FileNotFoundError, match="fallback"):
+        load_covomix_tokenizer(None, strict=True)
+    tok = load_covomix_tokenizer(vocab_file, strict=True)
+    assert tok.encode("hello world")
+    # non-strict keeps the warning-only legacy behavior
+    with pytest.warns(UserWarning, match="fallback"):
+        load_covomix_tokenizer(None, strict=False)
+
+
 def test_remove_punctuation_keeps_special_tokens():
     out = remove_punctuation("Hello, World! [spkchange] what's up?")
     assert "," not in out and "!" not in out and "'" not in out

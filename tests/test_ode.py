@@ -43,6 +43,29 @@ def test_adaptive_matches_midpoint_trajectory():
     assert diff.max() / scale < 0.05, (diff.max(), scale)
 
 
+def test_adaptive_bf16_converges():
+    """bf16 serving dtype: the rounding-noise floor in the error scale keeps
+    the controller from rejecting to max_steps (the round-2 f32-only
+    limitation); accuracy is bounded by the bf16 noise floor, so compare
+    against the f32 trajectory at a bf16-appropriate tolerance."""
+    params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(0), TINY)
+    key = jax.random.PRNGKey(1)
+    B, T = 1, 12
+    ph = jax.random.randint(key, (B, T), 0, 502)
+    cond = jax.random.normal(key, (B, T, 80)) * 0.1
+    ada_fn = functools.partial(A.sample_adaptive, cfg=TINY, cond_scale=1.0,
+                               atol=1e-5, rtol=1e-5, max_steps=64)
+    ref, steps32 = jax.jit(functools.partial(ada_fn, dtype=jnp.float32))(
+        params, key=key, phoneme_ids=ph, cond=cond)
+    y16, steps16 = jax.jit(functools.partial(ada_fn, dtype=jnp.bfloat16))(
+        params, key=key, phoneme_ids=ph, cond=cond)
+    assert int(steps16) < 64, int(steps16)          # controller converges
+    assert int(steps16) <= int(steps32) + 16        # and doesn't thrash
+    diff = np.abs(np.asarray(y16) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).mean() + 1e-6
+    assert diff.max() / scale < 0.15, (diff.max(), scale)
+
+
 def test_adaptive_with_cfg_runs():
     params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(2), TINY)
     key = jax.random.PRNGKey(3)

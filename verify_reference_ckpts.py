@@ -479,7 +479,10 @@ def run_e2e(args, npz: dict, rep: Report, *, comix: bool):
     t2s_params, t2s_cfg = _load(npz[t2s_key], T.T2SConfig)
     ac_params, ac_cfg = _load(npz[ac_key], A.AcousticConfig)
     voc_params, voc_cfg = _load(npz["vocoder"], V.VocoderConfig)
-    tok = load_covomix_tokenizer(args.bert_vocab)
+    # strict=False: without --bert_vocab the e2e stage still runs the full
+    # numerical cascade on the fallback vocab (stand-in harness); pass
+    # --bert_vocab for checkpoint-compatible text ids on real assets
+    tok = load_covomix_tokenizer(args.bert_vocab, strict=False)
     mel_cfg = MelConfig(sample_rate=voc_cfg.sampling_rate)
     synth = Synthesizer(t2s_params, t2s_cfg, ac_params, ac_cfg, voc_params, voc_cfg,
                         tok, mel_cfg=mel_cfg, t2s_max_length=args.t2s_max_length)
