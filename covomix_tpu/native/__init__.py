@@ -35,7 +35,7 @@ def _load():
         return _lib
     try:
         lib = ctypes.CDLL(_SO)
-        if not hasattr(lib, "balanced_assignment_f32"):
+        if not hasattr(lib, "block_to_dataset_index"):
             # stale build from an older source revision: rebuild and reload
             _build()
             lib = ctypes.CDLL(_SO)
@@ -49,6 +49,14 @@ def _load():
         lib.batch_by_size.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p]
         lib.balanced_assignment_f32.restype = None
         lib.balanced_assignment_f32.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.bleu_add_i64.restype = None
+        lib.bleu_add_i64.argtypes = [i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int64]
+        lib.token_block_slices.restype = ctypes.c_int64
+        lib.token_block_slices.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
+                                           ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.block_to_dataset_index.restype = None
+        lib.block_to_dataset_index.argtypes = [i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
         _lib = lib
     except OSError:
         _lib = False
@@ -126,6 +134,171 @@ def batch_by_size(lengths: Sequence[int], max_tokens: int = 0, max_sentences: in
     if cur:
         batches.append(np.asarray(cur))
     return batches
+
+
+class BleuScorer:
+    """Corpus BLEU accumulator (capability of fairseq/clib/libbleu/libbleu.cpp
+    + fairseq/scoring/bleu.py Scorer): pad/eos trimming, unk tokens in the
+    reference never match (replaced by a negative sentinel), clipped 1..4-gram
+    matches accumulated across add() calls, BLEU-4 with brevity penalty.
+
+    Deliberate deviation from libbleu: ngrams are matched by exact token-tuple
+    keys (the reference FNV-hashes ngram bytes, which can false-match on
+    collisions), and a sentence consisting only of pad/eos counts zero tokens
+    (the reference keeps one trailing eos). C++ fast path with a pure-python
+    fallback; both share these semantics (tests/test_native_ops.py)."""
+
+    def __init__(self, pad: int = 1, eos: int = 2, unk: int = 3):
+        self.pad, self.eos, self.unk = int(pad), int(eos), int(unk)
+        self.reset()
+
+    def reset(self, one_init: bool = False):
+        # stat = [reflen, predlen, count1, match1, ..., count4, match4]
+        self.stat = np.zeros(10, np.int64)
+        if one_init:  # +1 smoothing on orders 2..4 (bleu_one_init)
+            self.stat[4:10] = 1
+
+    @staticmethod
+    def _trim(seq: np.ndarray, pad: int, eos: int) -> np.ndarray:
+        i = 0
+        while i < len(seq) and seq[i] == pad:
+            i += 1
+        j = len(seq)
+        while j > i and (seq[j - 1] == pad or seq[j - 1] == eos):
+            j -= 1
+        return seq[i:j]
+
+    def add(self, ref, pred):
+        ref = _as_i64(ref).ravel().copy()
+        pred = _as_i64(pred).ravel()
+        ref[ref == self.unk] = -999  # unknown ref words never match (bleu.py:114-117)
+        lib = _load()
+        if lib:
+            r, p = np.ascontiguousarray(ref), np.ascontiguousarray(pred)
+            lib.bleu_add_i64(_ptr(self.stat), _ptr(r), len(r), _ptr(p), len(p),
+                             self.pad, self.eos)
+            return
+        r = self._trim(ref, self.pad, self.eos)
+        p = self._trim(pred, self.pad, self.eos)
+        self.stat[0] += len(r)
+        self.stat[1] += len(p)
+        for n in range(1, 5):
+            if len(p) < n:
+                continue
+            pg = [tuple(p[i:i + n]) for i in range(len(p) - n + 1)]
+            self.stat[2 * n] += len(pg)
+            if len(r) < n:
+                continue
+            from collections import Counter
+
+            count = Counter(pg)
+            for i in range(len(r) - n + 1):
+                g = tuple(r[i:i + n])
+                if count.get(g, 0) > 0:
+                    self.stat[2 * n + 1] += 1
+                    count[g] -= 1
+
+    def precision(self):
+        return [self.stat[2 * n + 1] / self.stat[2 * n] if self.stat[2 * n] > 0 else 0.0
+                for n in range(1, 5)]
+
+    def brevity(self):
+        import math
+
+        reflen, predlen = int(self.stat[0]), int(self.stat[1])
+        if predlen == 0:
+            return 0.0
+        return min(1.0, math.exp(1 - reflen / predlen))
+
+    def score(self, order: int = 4) -> float:
+        import math
+
+        psum = sum(math.log(p) if p > 0 else float("-inf")
+                   for p in self.precision()[:order])
+        return self.brevity() * math.exp(psum / order) * 100.0
+
+    def result_string(self, order: int = 4) -> str:
+        ps = ", ".join(f"{p * 100:.1f}" for p in self.precision()[:order])
+        return (f"BLEU{order} = {self.score(order):.2f}, {ps} "
+                f"(BP={self.brevity():.3f}, ratio={int(self.stat[1]) / max(int(self.stat[0]), 1):.3f}, "
+                f"syslen={int(self.stat[1])}, reflen={int(self.stat[0])})")
+
+
+def token_block_slices(sizes, block_size: int, break_mode: str = "none",
+                       document_sep_len: int = 1) -> np.ndarray:
+    """[start, end) slices over the flattened token stream for each block
+    (capability of fairseq/data/token_block_utils_fast.pyx
+    _get_slice_indices_fast). break_mode: 'none' (fixed block_size chunks),
+    'complete' (whole sentences packed up to block_size), 'complete_doc'
+    (documents delimited by document_sep_len-sized rows; keeps blocks >1),
+    'eos' (one slice per sentence). Returns int64 [num_blocks, 2]."""
+    sizes = _as_i64(sizes)
+    modes = {None: 0, "none": 0, "complete": 1, "complete_doc": 2, "eos": 3}
+    if break_mode not in modes:
+        raise ValueError(f"Invalid break_mode: {break_mode}")
+    mode = modes[break_mode]
+    lib = _load()
+    if lib:
+        total = int(sizes.sum())
+        cap = len(sizes) + (total // max(int(block_size), 1)) + 2
+        out = np.zeros(2 * cap, np.int64)
+        m = int(lib.token_block_slices(_ptr(sizes), len(sizes), int(block_size),
+                                       mode, int(document_sep_len), _ptr(out)))
+        return out[: 2 * m].reshape(m, 2)
+    # pure-numpy fallback (same semantics)
+    if mode == 0:
+        total = int(sizes.sum())
+        starts = np.arange(0, total, int(block_size), dtype=np.int64)
+        return np.stack([starts, np.minimum(starts + int(block_size), total)], axis=1) \
+            if total else np.zeros((0, 2), np.int64)
+    if mode == 3:
+        cum = np.concatenate([[0], np.cumsum(sizes)])
+        return np.stack([cum[:-1], cum[1:]], axis=1)
+    out, tok, cur, i = [], 0, 0, 0
+    min_keep = 2 if mode == 2 else 1
+    while i < len(sizes):
+        doc_sep = mode == 2 and sizes[i] == document_sep_len
+        if (cur + sizes[i] <= block_size or cur == 0) and not doc_sep:
+            cur += int(sizes[i])
+            i += 1
+        else:
+            if cur >= min_keep:
+                out.append((tok, tok + cur))
+            tok += cur
+            cur = 0
+            if doc_sep:
+                tok += int(sizes[i])
+                i += 1
+    if cur >= min_keep:
+        out.append((tok, tok + cur))
+    return np.asarray(out, np.int64).reshape(-1, 2)
+
+
+def block_to_dataset_index(sizes, slice_indices) -> np.ndarray:
+    """Per block: (start_ds_idx, start_offset, end_ds_idx) into the
+    per-sequence dataset (token_block_utils_fast.pyx DatasetSearcher)."""
+    sizes = _as_i64(sizes)
+    sl = _as_i64(slice_indices).reshape(-1, 2)
+    lib = _load()
+    if lib:
+        out = np.zeros(3 * len(sl), np.int64)
+        flat = np.ascontiguousarray(sl.ravel())
+        lib.block_to_dataset_index(_ptr(sizes), len(sizes), _ptr(flat), len(sl), _ptr(out))
+        return out.reshape(-1, 3)
+    cum = np.concatenate([[0], np.cumsum(sizes)])
+
+    # flat -> dataset index, DatasetSearcher semantics: a flat index on a
+    # sequence boundary stays on the first sequence starting there (including
+    # zero-length ones)
+    def find(flat):
+        i = int(np.searchsorted(cum, flat, side="left"))
+        return i if i < len(cum) - 1 and cum[i] == flat else i - 1
+
+    out = []
+    for s, e in sl:
+        sd = find(s)
+        out.append((sd, int(s) - int(cum[sd]), sd if e <= s else find(e - 1)))
+    return np.asarray(out, np.int64).reshape(-1, 3)
 
 
 def balanced_assignment(scores) -> np.ndarray:

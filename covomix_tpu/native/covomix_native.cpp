@@ -188,3 +188,133 @@ void balanced_assignment_f32(const float* scores, int64_t T, int64_t E,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Corpus BLEU accumulation (capability of fairseq/clib/libbleu/libbleu.cpp:
+// pad/eos trimming, clipped 1..4-gram matches accumulated into a running
+// stat). Independent implementation: exact ngram keys via std::map over token
+// tuples instead of FNV hashing (no collision false-matches).
+
+#include <map>
+#include <array>
+
+namespace {
+
+using Ngram = std::array<int64_t, 4>;
+
+void trim(const int64_t** sent, int64_t* len, int64_t pad, int64_t eos) {
+    // left-trim pad, right-trim pad/eos (libbleu.cpp bleu_trim semantics)
+    while (*len > 0 && (*sent)[0] == pad) { ++*sent; --*len; }
+    while (*len > 1 && ((*sent)[*len - 1] == pad || (*sent)[*len - 1] == eos)) --*len;
+    if (*len == 1 && ((*sent)[0] == pad || (*sent)[0] == eos)) *len = 0;
+}
+
+void add_ngrams(int64_t n, const int64_t* ref, int64_t reflen,
+                const int64_t* pred, int64_t predlen,
+                int64_t* total, int64_t* match) {
+    if (predlen < n) return;
+    const int64_t np = predlen - n + 1;
+    *total += np;
+    if (reflen < n) return;
+    const int64_t nr = reflen - n + 1;
+    std::map<Ngram, int64_t> count;
+    for (int64_t i = 0; i < np; ++i) {
+        Ngram g{0, 0, 0, 0};
+        for (int64_t j = 0; j < n; ++j) g[j] = pred[i + j];
+        ++count[g];
+    }
+    for (int64_t i = 0; i < nr; ++i) {
+        Ngram g{0, 0, 0, 0};
+        for (int64_t j = 0; j < n; ++j) g[j] = ref[i + j];
+        auto it = count.find(g);
+        if (it != count.end() && it->second > 0) { ++*match; --it->second; }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// stat: int64[10] = [reflen, predlen, count1, match1, ..., count4, match4],
+// accumulated in place (caller zero- or one-initializes).
+void bleu_add_i64(int64_t* stat, const int64_t* ref, int64_t reflen,
+                  const int64_t* pred, int64_t predlen, int64_t pad, int64_t eos) {
+    trim(&ref, &reflen, pad, eos);
+    trim(&pred, &predlen, pad, eos);
+    stat[0] += reflen;
+    stat[1] += predlen;
+    for (int64_t n = 1; n <= 4; ++n)
+        add_ngrams(n, ref, reflen, pred, predlen, &stat[2 * n], &stat[2 * n + 1]);
+}
+
+// ---------------------------------------------------------------------------
+// Token-block slicing (capability of fairseq/data/token_block_utils_fast.pyx):
+// map per-sequence sizes to [start, end) slices over the flattened token
+// stream. mode: 0=none (fixed blocks), 1=complete (whole sentences up to
+// block_size), 2=complete_doc (document_sep_len-sized rows end a document;
+// blocks of >1 token within documents), 3=eos (one slice per sentence).
+// out must have capacity 2 * (n + total/block_size + 2); returns #slices.
+int64_t token_block_slices(const int64_t* sizes, int64_t n, int64_t block_size,
+                           int64_t mode, int64_t document_sep_len, int64_t* out) {
+    int64_t m = 0;
+    if (mode == 0) {
+        int64_t total = 0;
+        for (int64_t i = 0; i < n; ++i) total += sizes[i];
+        for (int64_t s = 0; s < total; s += block_size) {
+            out[2 * m] = s;
+            out[2 * m + 1] = std::min(s + block_size, total);
+            ++m;
+        }
+    } else if (mode == 1 || mode == 2) {
+        int64_t tok = 0, cur = 0, i = 0;
+        const int64_t min_keep = (mode == 2) ? 2 : 1;  // complete_doc keeps >1
+        while (i < n) {
+            const bool doc_sep = (mode == 2) && sizes[i] == document_sep_len;
+            if ((cur + sizes[i] <= block_size || cur == 0) && !doc_sep) {
+                cur += sizes[i];
+                ++i;
+            } else {
+                if (cur >= min_keep) { out[2 * m] = tok; out[2 * m + 1] = tok + cur; ++m; }
+                tok += cur;
+                cur = 0;
+                if (doc_sep) { tok += sizes[i]; ++i; }
+            }
+        }
+        if (cur >= min_keep) { out[2 * m] = tok; out[2 * m + 1] = tok + cur; ++m; }
+    } else {  // eos: one slice per sequence
+        int64_t tok = 0;
+        for (int64_t i = 0; i < n; ++i) {
+            out[2 * m] = tok;
+            out[2 * m + 1] = tok + sizes[i];
+            tok += sizes[i];
+            ++m;
+        }
+    }
+    return m;
+}
+
+// For each slice [s, e): (start_ds_idx, start_offset, end_ds_idx) into the
+// per-sequence dataset (token_block_utils_fast.pyx DatasetSearcher semantics).
+// Slices must be non-decreasing in start (they are, by construction).
+void block_to_dataset_index(const int64_t* sizes, int64_t n,
+                            const int64_t* slices, int64_t m, int64_t* out) {
+    std::vector<int64_t> cum(n + 1, 0);
+    for (int64_t i = 0; i < n; ++i) cum[i + 1] = cum[i] + sizes[i];
+    int64_t ds = 0;
+    // Matches the pyx DatasetSearcher: a flat index landing exactly on a
+    // sequence boundary stays on the first sequence starting there (including
+    // zero-length ones) rather than skipping to the first non-empty.
+    auto seek = [&](int64_t flat) {
+        while (ds + 1 < n && cum[ds + 1] <= flat && cum[ds] < flat) ++ds;
+        return ds;
+    };
+    for (int64_t i = 0; i < m; ++i) {
+        const int64_t s = slices[2 * i], e = slices[2 * i + 1];
+        const int64_t sd = seek(s);
+        out[3 * i] = sd;
+        out[3 * i + 1] = s - cum[sd];
+        out[3 * i + 2] = (e <= s) ? sd : seek(e - 1);
+    }
+}
+
+}  // extern "C"

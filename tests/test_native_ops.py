@@ -125,3 +125,178 @@ def test_generate_with_ngram_block_runs():
         row = row[row != cfg.semantic_eos_id]
         bigrams = list(zip(row[:-1], row[1:]))
         assert len(bigrams) == len(set(bigrams)), bigrams
+
+
+# ---------------------------------------------------------------------------
+# BLEU scorer (fairseq libbleu capability: clipped corpus BLEU with pad/eos
+# trimming and unk-never-matches; C++ path + python fallback share semantics)
+
+
+def _both_backends(fn):
+    """Run fn() on the C++ path and on the forced python fallback; return both."""
+    res_c = fn() if native.native_available() else None
+    lib_backup = native._lib
+    try:
+        native._lib = False
+        res_py = fn()
+    finally:
+        native._lib = lib_backup
+    return res_c, res_py
+
+
+def test_bleu_perfect_match_is_100():
+    def run():
+        sc = native.BleuScorer(pad=1, eos=2, unk=3)
+        sc.add([5, 6, 7, 8, 9, 2], [5, 6, 7, 8, 9, 2])
+        return sc.score()
+
+    c, py = _both_backends(run)
+    assert abs(py - 100.0) < 1e-9
+    if c is not None:
+        assert abs(c - py) < 1e-9
+
+
+def test_bleu_known_value():
+    """Hand-computed clipped BLEU: ref 'the cat sat on the mat', pred
+    'the cat the cat on the mat' (classic clipping example)."""
+    ref = [10, 11, 12, 13, 10, 14]
+    pred = [10, 11, 10, 11, 13, 10, 14]
+
+    def run():
+        sc = native.BleuScorer(pad=0, eos=99, unk=98)
+        sc.add(ref, pred)
+        return sc.precision(), sc.score()
+
+    c, py = _both_backends(run)
+    prec, score = py
+    # 1-grams: pred counts {10:3, 11:2, 13:1, 14:1}; ref {10:2, 11:1, 12:1,
+    # 13:1, 14:1} -> clipped matches 2+1+1+1 = 5 of 7
+    assert abs(prec[0] - 5 / 7) < 1e-12
+    # 2-grams: pred [10-11, 11-10, 10-11, 11-13, 13-10, 10-14]; ref has 10-11
+    # x1, 13-10 x1, 10-14 x1 -> 3 of 6
+    assert abs(prec[1] - 3 / 6) < 1e-12
+    if c is not None:
+        cp, cs = c
+        np.testing.assert_allclose(cp, prec, atol=1e-12)
+        assert abs(cs - score) < 1e-9
+
+
+def test_bleu_trim_and_unk_and_brevity():
+    def run():
+        sc = native.BleuScorer(pad=1, eos=2, unk=3)
+        # leading pads + trailing eos trimmed on BOTH sides; ref unk (3) never
+        # matches the pred's literal 3
+        sc.add([1, 1, 5, 3, 7, 2], [5, 3, 7, 2, 1])
+        return np.array(sc.stat), sc.brevity()
+
+    c, py = _both_backends(run)
+    stat, bp = py
+    assert stat[0] == 3 and stat[1] == 3     # reflen, predlen after trim
+    assert stat[2] == 3 and stat[3] == 2     # unigrams: 5 and 7 match, unk not
+    assert bp == 1.0
+    if c is not None:
+        np.testing.assert_array_equal(c[0], stat)
+
+
+def test_bleu_one_init_smoothing_and_accumulation():
+    def run():
+        sc = native.BleuScorer(pad=0, eos=9)
+        sc.reset(one_init=True)
+        sc.add([4, 5, 6], [4, 5, 7])
+        sc.add([4, 5, 6], [4, 5, 6])
+        return np.array(sc.stat), sc.score()
+
+    c, py = _both_backends(run)
+    stat, score = py
+    assert stat[0] == 6 and stat[1] == 6
+    assert stat[2] == 6 and stat[3] == 5          # unigram: 2/3 + 3/3
+    assert stat[4] == 4 + 1 and stat[5] == 3 + 1  # bigram + one_init smoothing
+    assert 0.0 < score <= 100.0
+    if c is not None:
+        np.testing.assert_array_equal(c[0], stat)
+        assert abs(c[1] - score) < 1e-9
+
+
+def test_bleu_random_backend_parity():
+    rng = np.random.RandomState(7)
+
+    def run():
+        sc = native.BleuScorer(pad=1, eos=2, unk=3)
+        r2 = np.random.RandomState(7)
+        for _ in range(20):
+            ref = r2.randint(1, 12, size=r2.randint(1, 30))
+            pred = r2.randint(1, 12, size=r2.randint(1, 30))
+            sc.add(ref, pred)
+        return np.array(sc.stat)
+
+    c, py = _both_backends(run)
+    if c is not None:
+        np.testing.assert_array_equal(c, py)
+
+
+# ---------------------------------------------------------------------------
+# token-block slicing (fairseq token_block_utils_fast capability)
+
+
+def test_token_block_slices_none_mode():
+    def run():
+        return native.token_block_slices([3, 5, 2], block_size=4, break_mode="none")
+
+    c, py = _both_backends(run)
+    np.testing.assert_array_equal(py, [[0, 4], [4, 8], [8, 10]])
+    if c is not None:
+        np.testing.assert_array_equal(c, py)
+
+
+def test_token_block_slices_complete_mode():
+    def run():
+        # sentences packed whole; a 7-size sentence exceeds block alone but is
+        # kept (curr_size == 0 branch, token_block_utils_fast.pyx:67-77)
+        return native.token_block_slices([3, 2, 7, 1, 1], block_size=5, break_mode="complete")
+
+    c, py = _both_backends(run)
+    np.testing.assert_array_equal(py, [[0, 5], [5, 12], [12, 14]])
+    if c is not None:
+        np.testing.assert_array_equal(c, py)
+
+
+def test_token_block_slices_complete_doc_mode():
+    def run():
+        # doc-sep rows (size == document_sep_len) end documents and are
+        # excluded; single-token blocks dropped (pyx:79-97 'curr_size > 1')
+        return native.token_block_slices([3, 2, 1, 4, 1, 1], block_size=5,
+                                         break_mode="complete_doc", document_sep_len=1)
+
+    c, py = _both_backends(run)
+    np.testing.assert_array_equal(py, [[0, 5], [6, 10]])
+    if c is not None:
+        np.testing.assert_array_equal(c, py)
+
+
+def test_token_block_slices_eos_mode_and_index():
+    def run():
+        sl = native.token_block_slices([2, 0, 3], block_size=99, break_mode="eos")
+        idx = native.block_to_dataset_index([2, 0, 3], sl)
+        return sl, idx
+
+    c, py = _both_backends(run)
+    sl, idx = py
+    np.testing.assert_array_equal(sl, [[0, 2], [2, 2], [2, 5]])
+    # boundary flat index stays on the first sequence starting there — the
+    # zero-length row itself (DatasetSearcher semantics, pyx:160-186)
+    np.testing.assert_array_equal(idx, [[0, 0, 0], [1, 0, 1], [1, 0, 2]])
+    if c is not None:
+        np.testing.assert_array_equal(c[0], sl)
+        np.testing.assert_array_equal(c[1], idx)
+
+
+def test_block_to_dataset_index_spanning():
+    def run():
+        sl = native.token_block_slices([3, 5, 2], block_size=4, break_mode="none")
+        return native.block_to_dataset_index([3, 5, 2], sl)
+
+    c, py = _both_backends(run)
+    # block [0,4) spans ds 0..1; [4,8) inside ds 1 (offset 1); [8,10) is ds 2
+    np.testing.assert_array_equal(py, [[0, 0, 1], [1, 1, 1], [2, 0, 2]])
+    if c is not None:
+        np.testing.assert_array_equal(c, py)
