@@ -15,7 +15,8 @@ from typing import Optional
 
 
 class MetricsLogger:
-    def __init__(self, run_dir: str, tensorboard: bool = True):
+    def __init__(self, run_dir: str, tensorboard: bool = True, wandb: bool = False,
+                 wandb_project: str = "covomix", wandb_run: Optional[str] = None):
         os.makedirs(run_dir, exist_ok=True)
         self._jsonl = open(os.path.join(run_dir, "metrics.jsonl"), "a")
         self._tb = None
@@ -26,6 +27,21 @@ class MetricsLogger:
                 self._tb = SummaryWriter(log_dir=os.path.join(run_dir, "tb"))
             except Exception:
                 self._tb = None
+        # W&B sink (reference train.py:64-69: WandbLogger(project='covomix')
+        # unless --no_wandb). The wandb package is not installed in this image
+        # and needs network; when unavailable the logger says so once and the
+        # offline sinks (JSONL + TB) carry the run — same data, no hard dep.
+        self._wandb = None
+        if wandb:
+            try:
+                import wandb as _wandb
+
+                self._wandb = _wandb.init(project=wandb_project, name=wandb_run,
+                                          dir=run_dir, resume="allow")
+            except Exception as e:  # noqa: BLE001 — missing package / no network
+                print(f"note: W&B sink unavailable ({type(e).__name__}); "
+                      f"logging to JSONL+TensorBoard in {run_dir}")
+                self._wandb = None
 
     def log(self, step: int, metrics: dict, prefix: str = "") -> None:
         rec = {"step": step, "time": time.time()}
@@ -42,6 +58,9 @@ class MetricsLogger:
                 if k in ("step", "time") or not isinstance(v, float):
                     continue
                 self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in rec.items()
+                             if k != "time" and isinstance(v, float)}, step=step)
 
     def log_audio(self, step: int, tag: str, wav, sample_rate: int) -> None:
         if self._tb is not None:
@@ -53,3 +72,5 @@ class MetricsLogger:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()

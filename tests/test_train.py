@@ -104,3 +104,24 @@ def test_npz_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert cio.load_meta(path)["config"]["dim"] == 32
+
+
+def test_metrics_logger_wandb_fallback(tmp_path, capsys):
+    """W&B sink requested (reference default, train.py:64-69) but wandb is not
+    installed here: the logger notes it once and the offline sinks carry the
+    run; with --no_wandb semantics (wandb=False) no note is printed."""
+    import json as _json
+
+    from covomix_tpu.util.logging_utils import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path / "r1"), wandb=True)
+    lg.log(1, {"loss": 0.25})
+    lg.close()
+    assert "W&B sink unavailable" in capsys.readouterr().out
+    rec = _json.loads(open(tmp_path / "r1" / "metrics.jsonl").read().strip())
+    assert rec["loss"] == 0.25
+
+    lg = MetricsLogger(str(tmp_path / "r2"), wandb=False)
+    lg.log(1, {"loss": 0.5})
+    lg.close()
+    assert "W&B" not in capsys.readouterr().out

@@ -40,7 +40,7 @@ def build_argparser():
     t.add_argument("--eval_every", type=int, default=1000)
     t.add_argument("--num_eval_files", type=int, default=20)
     t.add_argument("--resume", action="store_true")
-    t.add_argument("--no_wandb", action="store_true", help="(parity flag; logging is JSONL+TensorBoard-format)")
+    t.add_argument("--no_wandb", action="store_true", help="disable the W&B sink (JSONL+TensorBoard always on; W&B needs the wandb package + network)")
     t.add_argument("--max_steps", type=int, default=0, help="stop after N steps (0 = unlimited)")
     t.add_argument("--log_every", type=int, default=50)
     t.add_argument("--multihost", action="store_true",
@@ -273,7 +273,10 @@ def main():
         from covomix_tpu.util.logging_utils import MetricsLogger
         from covomix_tpu.util.watchdog import Watchdog
 
-        logger = MetricsLogger(run_dir, tensorboard=not args.no_wandb)
+        # reference train.py:64-69: W&B unless --no_wandb (falls back to the
+        # offline sinks with a note when wandb is not installed / no network)
+        logger = MetricsLogger(run_dir, tensorboard=True, wandb=not args.no_wandb,
+                               wandb_run=args.run_name)
         total_steps = args.max_steps or args.max_epochs * steps_per_epoch
         t_last, step_last = time.time(), start_step
         watchdog = Watchdog(timeout_s=1800.0, name=run_name)
