@@ -188,15 +188,6 @@ def _can_fuse_tail(cfg: VocoderConfig) -> bool:
             and 4 * (cfg.upsample_initial_channel // (2 ** len(cfg.upsample_rates))) <= 128)
 
 
-def valid_output_length(cfg: VocoderConfig, frames):
-    """`output_length` as traceable arithmetic (int, traced scalar, or [B]
-    array of valid frame counts) — the per-stage torch ConvTranspose1d chain."""
-    t = frames
-    for u, k in zip(cfg.upsample_rates, cfg.upsample_kernel_sizes):
-        t = (t - 1) * u - 2 * ((k - u) // 2) + k
-    return t
-
-
 def generator(params, cfg: VocoderConfig, mel: jnp.ndarray, dtype=jnp.float32,
               fuse_tail: bool = None, valid_len=None) -> jnp.ndarray:
     """mel [B, T, num_mels] -> waveform [B, T*total_upsample] in [-1, 1].
@@ -213,7 +204,7 @@ def generator(params, cfg: VocoderConfig, mel: jnp.ndarray, dtype=jnp.float32,
     bucket/batch padding. Activations beyond each row's valid extent are
     re-zeroed after EVERY conv, so positions inside the valid extent see
     exactly the zero-padding an exact-length (reference-convention) run
-    would — the first valid_output_length(cfg, n) samples of each row equal
+    would — the first output_length(cfg, n) samples of each row equal
     exact-length vocoding bit-for-bit (tests/test_vocoder.py). The reference
     has no batched vocoder, so there is no reference counterpart; this is
     what makes bucketed (hifigan_inference) and batched (serving) vocoding

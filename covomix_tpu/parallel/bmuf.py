@@ -128,7 +128,6 @@ def make_bmuf_train_step(loss_fn, train_cfg, bmuf_cfg: BMUFConfig, mesh):
     from covomix_tpu.train.loop import TrainState, ema_update, make_optimizer
 
     tx = make_optimizer(train_cfg)
-    ndp = mesh.shape["dp"]
 
     def per_worker(state, batch, key):
         # shard_map blocks carry the [1, ...] replica slot; strip/restore it

@@ -29,6 +29,7 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    requested: bool = False,
 ) -> bool:
     """Bring up the JAX distributed runtime for multi-host training/serving.
 
@@ -37,13 +38,20 @@ def initialize(
       1. explicit args (the tcp://host:port equivalent — pass
          coordinator_address='host:port', num_processes, process_id);
       2. SLURM auto-detect (SLURM_PROCID / SLURM_NTASKS present and ntasks>1);
-      3. TPU-pod auto-detect: bare `jax.distributed.initialize()` (JAX reads
-         the TPU metadata — the torch_xla path's equivalent, utils.py:390-405).
+      3. auto-detect: bare `jax.distributed.initialize()` (JAX reads SLURM
+         env / TPU-pod metadata — the torch_xla path's equivalent,
+         utils.py:390-405), attempted whenever the caller explicitly asked
+         for multi-host (`requested=True`) or the SLURM env indicates >1
+         task.
 
     Returns True if the distributed runtime was initialized, False for the
-    single-process degenerate case (nothing to do). Safe to call once per
-    process, before first device use."""
-    if jax.process_count() > 1:
+    single-process degenerate case (nothing to do). MUST be called before any
+    other JAX API that touches the backend (jax.distributed.initialize()
+    raises once the XLA backend exists — which is why the already-initialized
+    check reads jax.distributed, never jax.process_count(), whose
+    jax.devices() call would itself initialize a single-host backend and
+    poison the rendezvous)."""
+    if jax.distributed.is_initialized():
         return True  # already initialized
     if coordinator_address is not None:
         jax.distributed.initialize(
@@ -53,15 +61,19 @@ def initialize(
         )
         return True
     slurm_n = int(os.environ.get("SLURM_NTASKS", "1"))
-    if slurm_n > 1:
-        # jax's SlurmCluster auto-detect resolves coordinator + ids from the
-        # SLURM_* env (the reference's _infer_slurm_init equivalent)
-        jax.distributed.initialize()
-        return True
-    if num_processes is not None and num_processes > 1:
-        # TPU-pod metadata auto-detect
-        jax.distributed.initialize()
-        return True
+    if slurm_n > 1 or requested or (num_processes is not None and num_processes > 1):
+        # jax's cluster auto-detect resolves coordinator + ids from the
+        # SLURM_* env (the reference's _infer_slurm_init equivalent) or the
+        # TPU-pod metadata. In a plain single-process environment there is
+        # nothing to detect and initialize() raises — degrade to single-host
+        # with a note rather than crashing a --multihost smoke run.
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError) as e:
+            print(f"note: multi-host requested but no cluster detected "
+                  f"({str(e)[:120]}); running single-host")
+            return False
+        return jax.process_count() > 1
     return False
 
 

@@ -66,6 +66,13 @@ class Synthesizer:
     t2s_cond_scale: float = 1.0            # CLIs default to no T2S CFG
     temperature: float = 1.0
     dtype: object = jnp.float32
+    # True: vocode with the fused Pallas tail kernel (ops/vocoder_tail.py,
+    # ~2.7x faster tail) — static-length, so bucket-pad frames are NOT
+    # re-zeroed and the last ~16 mel frames (~0.3 s) of each wav are an
+    # approximation of exact-length inference (bounded by the silence fill;
+    # same trade as hifigan_inference --fuse_tail). False (default): exact —
+    # `valid_len` masking matches reference-convention exact-length vocoding.
+    fuse_tail: bool = False
 
     def __post_init__(self):
         self._gen_fn = jax.jit(functools.partial(
@@ -73,7 +80,12 @@ class Synthesizer:
             temperature=self.temperature, cond_scale=self.t2s_cond_scale, dtype=self.dtype))
         self._sample_fn = jax.jit(functools.partial(
             A.sample, cfg=self.acoustic_cfg, cond_scale=self.cond_scale, dtype=self.dtype))
-        self._voc_fn = jax.jit(functools.partial(V.generator, cfg=self.vocoder_cfg, dtype=self.dtype))
+        # fuse_tail=None keeps the generator's auto dispatch (Pallas tail on
+        # TPU for covomix-shaped configs, plain convs elsewhere); the
+        # Synthesizer knob only controls whether valid_len masking (which
+        # forces the unfused path) is applied — see `fuse_tail` field docs
+        self._voc_fn = jax.jit(functools.partial(
+            V.generator, cfg=self.vocoder_cfg, dtype=self.dtype))
 
     # ---- prompt preparation ------------------------------------------------
 
@@ -152,8 +164,13 @@ class Synthesizer:
         tb = max(self.bucket, _round_up(t, self.bucket))
         m = np.full((tb, mel.shape[1]), MEL_PAD, np.float32)
         m[:t] = mel
-        wav = np.asarray(self._voc_fn(self.vocoder_params, mel=jnp.asarray(m[None]),
-                                      valid_len=jnp.int32(t)))[0]
+        if self.fuse_tail:
+            # fused kernel is static-length: no valid_len (tail approximation
+            # documented on the config field)
+            wav = np.asarray(self._voc_fn(self.vocoder_params, mel=jnp.asarray(m[None])))[0]
+        else:
+            wav = np.asarray(self._voc_fn(self.vocoder_params, mel=jnp.asarray(m[None]),
+                                          valid_len=jnp.int32(t)))[0]
         return wav[: t * self.mel_cfg.hop_size]
 
     def _check_mode(self, mode: str) -> None:

@@ -46,7 +46,7 @@ def main():
     from covomix_tpu.parallel import multihost as MH
 
     if args.multihost:
-        MH.initialize()
+        MH.initialize(requested=True)
 
     import numpy as np
 

@@ -33,6 +33,21 @@ def test_initialize_single_process_noop():
         os.environ.update(env_backup)
 
 
+def test_initialize_requested_degrades_gracefully():
+    """--multihost on a single host with no cluster env: the auto-detect
+    attempt must not crash; it degrades to single-host and returns False.
+    (The already-initialized check must read jax.distributed, NOT
+    jax.process_count(), whose jax.devices() call would initialize a
+    single-host backend and poison a real rendezvous.)"""
+    env_backup = {k: os.environ.pop(k) for k in ("SLURM_NTASKS",) if k in os.environ}
+    try:
+        assert MH.initialize(requested=True) in (False, True)  # no raise
+        assert jax.process_count() == 1
+        assert MH.is_primary()
+    finally:
+        os.environ.update(env_backup)
+
+
 def test_process_batch_slice_degenerate():
     s = MH.process_batch_slice(8)
     assert (s.start, s.stop) == (0, 8)

@@ -116,7 +116,8 @@ def main():
     # multi-host rendezvous BEFORE first device use; after this jax.devices()
     # is the global list and the mesh below spans every host's chips
     if args.multihost or args.coordinator_address:
-        MH.initialize(args.coordinator_address, args.num_processes, args.process_id)
+        MH.initialize(args.coordinator_address, args.num_processes, args.process_id,
+                      requested=True)
     n_proc = jax.process_count()
     primary = MH.is_primary()
 
@@ -275,7 +276,10 @@ def main():
 
         # reference train.py:64-69: W&B unless --no_wandb (falls back to the
         # offline sinks with a note when wandb is not installed / no network)
-        logger = MetricsLogger(run_dir, tensorboard=True, wandb=not args.no_wandb,
+        # sinks only on rank 0: every process constructing a wandb run / TB
+        # writer in the shared run_dir would produce P duplicates
+        logger = MetricsLogger(run_dir, tensorboard=primary,
+                               wandb=primary and not args.no_wandb,
                                wandb_run=args.run_name)
         total_steps = args.max_steps or args.max_epochs * steps_per_epoch
         t_last, step_last = time.time(), start_step
@@ -301,11 +305,15 @@ def main():
                 print(json.dumps({"step": step_i + 1, **rec}), flush=True)
                 logger.log(step_i + 1, rec)
             eval_metric = None
+            if args.num_eval_files and (step_i + 1) % args.eval_every == 0:
+                # split on EVERY rank: `key` feeds the globally-jitted train
+                # step as a replicated input, so a primary-only split would
+                # desynchronize it across hosts from the next step on
+                key, sub = jax.random.split(key)
             if args.num_eval_files and (step_i + 1) % args.eval_every == 0 and primary:
                 eval_items = [val_dataset[i % len(val_dataset)]
                               for i in range(min(args.num_eval_files, len(val_dataset)))]
                 eval_batches = [collate(eval_items[i : i + args.batch_size]) for i in range(0, len(eval_items), args.batch_size)]
-                key, sub = jax.random.split(key)
                 ema = jax.device_get(state.ema_params)  # eval swaps EMA in (conditional_model.py:203-217)
                 if pp_unstack is not None:
                     ema = pp_unstack(ema)   # pp stacked tree -> canonical params
