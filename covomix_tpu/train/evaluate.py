@@ -171,9 +171,15 @@ def evaluate_t2s(params, cfg, eval_batches, key, *, max_length: int = 512,
     as a secondary diagnostic (not in the reference)."""
     from covomix_tpu.models import text2semantic as T
 
+    from covomix_tpu.native import BleuScorer
+
     gen = jax.jit(functools.partial(T.generate, cfg=cfg, max_length=max_length,
                                     temperature=temperature, cond_scale=cond_scale, dtype=dtype))
     wers, accs = [], []
+    # token-level corpus BLEU as a secondary order-sensitive diagnostic (the
+    # fairseq scoring surface the native BleuScorer provides; pad/eos/unk ids
+    # chosen outside the semantic vocab so nothing trims or unk-matches)
+    bleu = BleuScorer(pad=-1, eos=-2, unk=-3)
     for batch in eval_batches:
         key, sub = jax.random.split(key)
         out = gen(params, key=sub, source_ids=jnp.asarray(batch["text_ids"]))
@@ -190,8 +196,10 @@ def evaluate_t2s(params, cfg, eval_batches, key, *, max_length: int = 512,
             wers.append(token_wer(ref_p, hyp_p))
             m = min(len(ref), len(hyp))
             accs.append(float(np.mean(ref[:m] == hyp[:m])) if m else 0.0)
+            bleu.add(ref, hyp)
     return {"l2": float(np.mean(wers)) if wers else float("nan"),  # logged as 'l2' like the reference
-            "accuracy": float(np.mean(accs)) if accs else float("nan")}
+            "accuracy": float(np.mean(accs)) if accs else float("nan"),
+            "token_bleu": bleu.score()}
 
 
 def evaluate_t2s_files(params, cfg, tokenizer, code_files: List[str], num_eval_files: int, key, *,

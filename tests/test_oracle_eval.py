@@ -119,3 +119,24 @@ def test_evaluate_acoustic_batch_orientation():
     out = E.evaluate_acoustic(params, TINY, [{"x": x, "phonemes": ph}], jax.random.PRNGKey(5),
                               cond_scale=1.0)
     assert np.isfinite(out["l2"])
+
+
+def test_evaluate_t2s_reports_token_bleu():
+    """Batch-level T2S eval includes the corpus token-BLEU diagnostic (the
+    native BleuScorer's consumer); a perfect hypothesis scores 100."""
+    from covomix_tpu.native import BleuScorer
+    from covomix_tpu.models import text2semantic as T
+
+    sc = BleuScorer(pad=-1, eos=-2, unk=-3)
+    seq = np.arange(5, 30)
+    sc.add(seq, seq)
+    assert abs(sc.score() - 100.0) < 1e-9
+
+    cfg = T.T2SConfig(dim=32, source_depth=1, target_depth=1, heads=2, dim_head=16,
+                      num_text_tokens=50, num_semantic_tokens=30, target_dim=32)
+    params = jax.jit(T.init, static_argnums=1)(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    batches = [{"text_ids": rng.randint(1, 50, (2, 6)),
+                "semantic_ids": rng.randint(0, 30, (2, 10))}]
+    m = E.evaluate_t2s(params, cfg, batches, jax.random.PRNGKey(1), max_length=12)
+    assert 0.0 <= m["token_bleu"] <= 100.0
