@@ -39,6 +39,8 @@ def main():
     parser.add_argument("--bert_vocab", type=str, default=None)
     parser.add_argument("--allow_fallback_vocab", action="store_true",
                         help="permit the checkpoint-incompatible char-level fallback vocab")
+    parser.add_argument("--fuse_tail", action="store_true",
+                        help="vocode with the fused Pallas tail kernel (tail approximation)")
     parser.add_argument("--bf16", action="store_true", help="force bfloat16 compute (default on TPU)")
     parser.add_argument("--f32", action="store_true", help="force float32 compute")
     args = parser.parse_args()

@@ -81,3 +81,43 @@ def test_dialogue_covosinx_routing(tiny_synths, prompt_dir):
                          os.path.join(prompt_dir, "dlg_1.hubert_code.npy"),
                          os.path.join(prompt_dir, "dlg_2.hubert_code.npy"), jax.random.PRNGKey(4))
     assert wav.ndim == 1 and len(wav) > 0
+
+
+def test_synthesizer_fuse_tail_knob_contract():
+    """fuse_tail=True vocodes WITHOUT valid_len masking (allowing the fused
+    Pallas tail on TPU): off-TPU the conv path is identical except that
+    bucket-pad frames leak into the generator's ~16-frame receptive field, so
+    the head of the wav must match the exact path and only the tail may
+    differ."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from covomix_tpu.models import vocoder as V
+    from covomix_tpu.pipeline import Synthesizer
+
+    voc_cfg = V.VocoderConfig(upsample_initial_channel=32)
+    voc_params = V.init_generator(jax.random.PRNGKey(0), voc_cfg)
+
+    def mk(fuse):
+        import functools
+
+        s = Synthesizer.__new__(Synthesizer)  # vocode only needs these fields
+        s.vocoder_params, s.vocoder_cfg, s.dtype = voc_params, voc_cfg, jnp.float32
+        s.bucket, s.fuse_tail = 64, fuse
+        from covomix_tpu.audio import MelConfig
+
+        s.mel_cfg = MelConfig()
+        s._voc_fn = jax.jit(functools.partial(V.generator, cfg=voc_cfg, dtype=jnp.float32))
+        return s
+
+    mel = np.random.RandomState(0).randn(50, 80).astype(np.float32) * 1.5 - 6.0
+    exact = mk(False).vocode(mel)
+    fused = mk(True).vocode(mel)
+    assert exact.shape == fused.shape == (50 * 160,)
+    assert np.isfinite(fused).all()
+    # receptive field ~16 mel frames * 160 samples; the head must agree
+    head = (50 - 20) * 160
+    np.testing.assert_allclose(fused[:head], exact[:head], atol=1e-5)
