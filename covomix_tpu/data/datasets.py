@@ -231,6 +231,56 @@ def collate_t2s(items: List[Dict], tokenizer, bucket: int = 64, max_text_len: in
     return {"text_ids": text_ids.astype(np.int32), "semantic_ids": sem}
 
 
+def compress_token_runs(tokens: np.ndarray):
+    """Run-length compress a semantic token sequence [T] or [T, S] into
+    (unique_tokens, durations), each [Tc, S] padded per stream with
+    CODE_PAD / 0 — the duration-predicting T2S data path
+    (compress_tensor_sequence / compress_sequence, data_module.py:162-193,
+    reachable via the reference's --data_pred_duration collate branch
+    :855-863). Vectorized numpy (run boundaries via a diff mask), not a
+    python loop per element."""
+    t = np.asarray(tokens)
+    if t.ndim == 1:
+        t = t[:, None]
+    uniq_streams, dur_streams = [], []
+    for s in range(t.shape[1]):
+        seq = t[:, s]
+        if len(seq) == 0:
+            uniq_streams.append(np.zeros((0,), np.int64))
+            dur_streams.append(np.zeros((0,), np.int64))
+            continue
+        starts = np.flatnonzero(np.concatenate([[True], seq[1:] != seq[:-1]]))
+        uniq_streams.append(seq[starts].astype(np.int64))
+        dur_streams.append(np.diff(np.concatenate([starts, [len(seq)]])).astype(np.int64))
+    n = max((len(u) for u in uniq_streams), default=0)
+    uniq = np.full((n, t.shape[1]), CODE_PAD, np.int64)
+    dur = np.zeros((n, t.shape[1]), np.int64)
+    for s in range(t.shape[1]):
+        uniq[: len(uniq_streams[s]), s] = uniq_streams[s]
+        dur[: len(dur_streams[s]), s] = dur_streams[s]
+    return uniq, dur
+
+
+def collate_t2s_duration(items: List[Dict], tokenizer, bucket: int = 64,
+                         max_text_len: int = 512) -> Dict[str, np.ndarray]:
+    """collate_t2s for duration-predicting T2S training: semantic targets are
+    run-length compressed to (unique tokens, durations) per stream, padded
+    CODE_PAD / 0 (data_module.py:855-863)."""
+    base = collate_t2s(items, tokenizer, bucket=bucket, max_text_len=max_text_len)
+    comp = [compress_token_runs(it["semantic"]) for it in items]
+    n = _round_up(max((u.shape[0] for u, _ in comp), default=1), bucket)
+    streams = comp[0][0].shape[1] if comp else 1
+    uniq = np.full((len(items), n, streams), CODE_PAD, np.int64)
+    dur = np.zeros((len(items), n, streams), np.int64)
+    for i, (u, d) in enumerate(comp):
+        uniq[i, : u.shape[0]] = u
+        dur[i, : d.shape[0]] = d
+    if streams == 1:
+        uniq, dur = uniq[..., 0], dur[..., 0]
+    return {"text_ids": base["text_ids"], "semantic_ids": uniq.astype(np.int32),
+            "durations": dur.astype(np.int32)}
+
+
 def data_loader(dataset, batch_size: int, collate, *, shuffle=True, seed=0, drop_last=True,
                 num_workers: int = 0, transfer=None):
     """Epoch iterator (decode + pad in numpy). With num_workers > 0 the

@@ -129,3 +129,40 @@ def test_data_loader_yields_static_batches(fisher_dir):
     loader = data_loader(ds, 2, lambda items: collate_acoustic(items, bucket=128), seed=1)
     b1, b2 = next(loader), next(loader)
     assert b1["x"].shape == b2["x"].shape  # bucketed to the same static shape
+
+
+def test_compress_token_runs():
+    """Run-length compression matches the reference's compress_sequence /
+    compress_tensor_sequence semantics (data_module.py:162-193): per-stream
+    unique runs + counts, streams padded to equal length with 501 / 0."""
+    from covomix_tpu.data.datasets import compress_token_runs
+
+    u, d = compress_token_runs(np.array([7, 7, 7, 3, 3, 9]))
+    np.testing.assert_array_equal(u[:, 0], [7, 3, 9])
+    np.testing.assert_array_equal(d[:, 0], [3, 2, 1])
+    assert int(d.sum()) == 6
+
+    # two streams of different compressed lengths: shorter padded 501/0
+    two = np.stack([[5, 5, 5, 5], [1, 2, 2, 3]], axis=1)
+    u, d = compress_token_runs(two)
+    np.testing.assert_array_equal(u[:, 0], [5, 501, 501])
+    np.testing.assert_array_equal(d[:, 0], [4, 0, 0])
+    np.testing.assert_array_equal(u[:, 1], [1, 2, 3])
+    np.testing.assert_array_equal(d[:, 1], [1, 2, 1])
+
+    u, d = compress_token_runs(np.zeros((0,), np.int64))
+    assert u.shape == (0, 1) and d.shape == (0, 1)
+
+
+def test_collate_t2s_duration(fisher_dir, vocab_file):
+    from covomix_tpu.data.tokenizer import WordPieceTokenizer, COVOMIX_ADDED_TOKENS
+    from covomix_tpu.data.datasets import CoVoMixDataset, collate_t2s_duration
+
+    tok = WordPieceTokenizer(vocab_file, added_tokens=COVOMIX_ADDED_TOKENS)
+    ds = CoVoMixDataset(str(fisher_dir), format="text2semantic")
+    batch = collate_t2s_duration([ds[0], ds[1]], tok, bucket=8)
+    assert batch["semantic_ids"].shape == batch["durations"].shape
+    assert batch["semantic_ids"].ndim == 2  # single stream squeezed
+    # durations of non-pad rows reconstruct the original lengths
+    for i, it in enumerate([ds[0], ds[1]]):
+        assert int(batch["durations"][i].sum()) == len(it["semantic"])
