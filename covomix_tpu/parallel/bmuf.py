@@ -35,7 +35,6 @@ asserted nowhere: optax state layouts are caller-owned).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
