@@ -143,8 +143,11 @@ def make_bmuf_train_step(loss_fn, train_cfg, bmuf_cfg: BMUFConfig, mesh):
         params, bmuf = bmuf_update(params, bmuf, bmuf_cfg, axis_name="dp")
         ema = ema_update(ts.ema_params, params, ts.ema_num_updates, train_cfg.ema_decay)
         new_ts = TrainState(params, opt_state, ema, ts.ema_num_updates + 1, ts.step + 1)
-        mean_loss = jax.lax.pmean(loss, "dp")  # reporting only
-        return {"train": ex(tuple(new_ts)), "bmuf": ex(bmuf)}, ex({"loss": mean_loss})
+        # reporting only (means over workers; grads themselves stay local)
+        mean_loss = jax.lax.pmean(loss, "dp")
+        gnorm = jax.lax.pmean(optax.global_norm(grads), "dp")
+        return {"train": ex(tuple(new_ts)), "bmuf": ex(bmuf)}, ex({"loss": mean_loss,
+                                                                  "grad_norm": gnorm})
 
     dp_spec = P("dp")
     step = shard_map(per_worker, mesh=mesh,

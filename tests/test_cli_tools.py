@@ -217,3 +217,45 @@ def test_train_cli_heldout_val_split(tmp_path):
     assert r.returncode == 0, r.stderr[-2500:]
     assert "eval:" in r.stdout          # eval ran on the held-out set
     assert "training files" not in r.stdout  # the <10-file fallback did NOT fire
+
+
+def test_train_cli_bmuf(tmp_path):
+    """train.py --bmuf_sync: local-step data parallelism with periodic block
+    sync (fairseq bmuf.py capability) through the full CLI — stacked state,
+    eval on worker-0 EMA, canonical EMA sidecar the generation CLIs can load."""
+    rng = np.random.RandomState(5)
+    data = tmp_path / "data"
+    (data / "train").mkdir(parents=True)
+    for i in range(6):
+        t = 40 + 8 * i
+        np.save(str(data / "train" / f"u{i}.mel.npy"), rng.randn(80, t).astype(np.float32))
+        np.save(str(data / "train" / f"u{i}.hubert_code.npy"),
+                rng.randint(0, 500, size=t).astype(str))
+    logs = tmp_path / "logs"
+    r = _run("train.py", [
+        "--base_dir", str(data), "--format", "hubert_fisher",
+        "--log_dir", str(logs), "--run_name", "bmuf",
+        "--max_steps", "4", "--batch_size", "2",
+        "--CoVoMix_dim_transformer", "32", "--CoVoMix_depth", "2",
+        "--CoVoMix_heads", "2", "--CoVoMix_dim_head", "16",
+        "--ckpt_every", "2", "--eval_every", "2", "--num_eval_files", "2",
+        "--dp", "2", "--bmuf_sync", "2", "--log_every", "1"],
+        cwd=str(tmp_path), timeout=1500)
+    assert r.returncode == 0, r.stderr[-2500:]
+    run_dir = logs / "bmuf"
+    lines = [json.loads(l) for l in open(run_dir / "metrics.jsonl") if l.strip()]
+    assert any("loss" in json.dumps(l) for l in lines)
+    assert any("eval_" in json.dumps(l) for l in lines)
+    # canonical EMA sidecar loads as a plain (unstacked) param tree
+    from covomix_tpu.checkpoint import io as cio
+
+    ema = cio.load_params(str(run_dir / "checkpoints" / "ema_canonical.npz"))
+    leaf = jax.tree_util.tree_leaves(ema)[0]
+    assert leaf.ndim >= 1 and np.isfinite(np.asarray(leaf)).all()
+
+
+def test_train_cli_bmuf_rejects_tp(tmp_path):
+    r = _run("train.py", ["--base_dir", str(tmp_path), "--bmuf_sync", "2", "--tp", "2",
+                          "--log_dir", str(tmp_path / "l")], cwd=str(tmp_path))
+    assert r.returncode != 0
+    assert "pure-dp" in (r.stderr + r.stdout)

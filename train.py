@@ -35,6 +35,12 @@ def build_argparser():
     t.add_argument("--pp_microbatches", type=int, default=4, help="GPipe microbatches per step")
     t.add_argument("--sp", type=int, default=1, help="sequence-parallel shards (acoustic only; ring attention over 'sp')")
     t.add_argument("--fsdp", action="store_true", help="shard params over dp (ZeRO-style)")
+    t.add_argument("--bmuf_sync", type=int, default=0,
+                   help="BMUF: local optimizer steps with periodic model sync every N "
+                        "steps (fairseq/optim/bmuf.py capability; pure-dp only, 0 = off)")
+    t.add_argument("--bmuf_warmup", type=int, default=0, help="BMUF warmup_iterations")
+    t.add_argument("--bmuf_momentum", type=float, default=None,
+                   help="BMUF block momentum (default 1 - 1/world)")
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--ckpt_every", type=int, default=1000)
     t.add_argument("--eval_every", type=int, default=1000)
@@ -98,6 +104,10 @@ def build_argparser():
 
 def main():
     args = build_argparser().parse_args()
+    if args.bmuf_sync > 0 and (args.tp > 1 or args.pp > 1 or args.sp > 1 or args.fsdp
+                               or args.multihost or args.coordinator_address):
+        sys.exit("--bmuf_sync is the pure-dp local-steps mode; it composes with "
+                 "none of --tp/--pp/--sp/--fsdp/--multihost")
 
     import jax
     import jax.numpy as jnp
@@ -238,20 +248,51 @@ def main():
                                  mesh=mesh, cond_drop_prob=args.cond_drop_prob, dtype=dtype)
     else:
         mesh = make_mesh(dp=args.dp or None, tp=args.tp)
+    bmuf_mode = args.bmuf_sync > 0
+    if bmuf_mode and n_proc > 1:  # flag combos rejected at parse time
+        sys.exit("--bmuf_sync is the pure-dp local-steps mode; it does not "
+                 "compose with multi-process execution")
     with mesh:
         if args.pp > 1:
             from covomix_tpu.train.loop import init_train_state
 
             state = init_train_state(params, train_cfg)
+            step_fn = make_sharded_train_step(loss_fn_core, train_cfg, mesh, p_shard)
+        elif bmuf_mode:
+            # local optimizer steps + periodic block sync: divergent per-worker
+            # models ride a stacked [ndp, ...] state sharded on 'dp'
+            # (parallel/bmuf.py); batches reshape [B, ...] -> [ndp, B/ndp, ...]
+            from covomix_tpu.parallel import bmuf as BM
+            from covomix_tpu.train.loop import init_train_state
+
+            state0 = init_train_state(params, train_cfg)
+            bcfg = BM.BMUFConfig(sync_every=args.bmuf_sync, warmup_steps=args.bmuf_warmup,
+                                 block_momentum=args.bmuf_momentum)
+            state = BM.stack_for_bmuf(state0, BM.init_bmuf_state(state0.params), mesh)
+            _bmuf_step = BM.make_bmuf_train_step(loss_fn_core, train_cfg, bcfg, mesh)
+            ndp_b = mesh.shape["dp"]
+            if args.batch_size % ndp_b:
+                sys.exit(f"--batch_size {args.batch_size} must divide by dp={ndp_b} for --bmuf_sync")
+
+            def step_fn(st, batch, k):
+                batch = jax.tree_util.tree_map(
+                    lambda x: x.reshape((ndp_b, x.shape[0] // ndp_b) + x.shape[1:]), batch)
+                st, m = _bmuf_step(st, batch, k)
+                return st, jax.tree_util.tree_map(lambda x: x[0], m)
         else:
             state, p_shard = init_sharded_state(params, train_cfg, mesh,
                                                 tp=args.tp > 1 and args.sp == 1, fsdp=args.fsdp)
-        step_fn = make_sharded_train_step(loss_fn_core, train_cfg, mesh, p_shard)
+            step_fn = make_sharded_train_step(loss_fn_core, train_cfg, mesh, p_shard)
 
         start_step = 0
         ckpt_dir = os.path.join(run_dir, "checkpoints")
         # save_last + top-10 on 'l2' (reference train.py:72-76)
         ckpt_mgr = cio.TopKCheckpointer(ckpt_dir, top_k=10, mode="min")
+
+        def _bmuf_ema():
+            # TrainState fields ride as a tuple inside the stacked dict;
+            # index 2 == ema_params (train/loop.py TrainState)
+            return jax.tree_util.tree_map(lambda x: x[0], state["train"][2])
 
         def save_canonical_ema(step_i: int) -> None:
             """Under --pp the train state stores params in the
@@ -259,11 +300,16 @@ def main():
             pp-local); generation CLIs and non-pp runs expect the canonical
             {'layers': [...]} tree. Write a sidecar ema_canonical.npz in the
             interchange layout so a pp-trained model loads everywhere."""
-            if pp_unstack is None:
-                return
-            cio.save_params(os.path.join(ckpt_dir, "ema_canonical.npz"),
-                            pp_unstack(jax.device_get(state.ema_params)),
-                            meta={"step": step_i, "config": model_cfg.__dict__})
+            if pp_unstack is not None:
+                cio.save_params(os.path.join(ckpt_dir, "ema_canonical.npz"),
+                                pp_unstack(jax.device_get(state.ema_params)),
+                                meta={"step": step_i, "config": model_cfg.__dict__})
+            elif bmuf_mode:
+                # stacked [ndp, ...] layout -> worker-0 EMA in the canonical
+                # tree so generation CLIs load bmuf-trained checkpoints
+                cio.save_params(os.path.join(ckpt_dir, "ema_canonical.npz"),
+                                jax.device_get(_bmuf_ema()),
+                                meta={"step": step_i, "config": model_cfg.__dict__})
         if args.resume:
             latest = cio.latest_step(ckpt_dir)
             if latest is not None:
@@ -314,7 +360,10 @@ def main():
                 eval_items = [val_dataset[i % len(val_dataset)]
                               for i in range(min(args.num_eval_files, len(val_dataset)))]
                 eval_batches = [collate(eval_items[i : i + args.batch_size]) for i in range(0, len(eval_items), args.batch_size)]
-                ema = jax.device_get(state.ema_params)  # eval swaps EMA in (conditional_model.py:203-217)
+                # eval swaps EMA in (conditional_model.py:203-217); bmuf state
+                # is the stacked dict -> worker-0 slice (identical across
+                # workers right after a sync, representative between syncs)
+                ema = jax.device_get(_bmuf_ema() if bmuf_mode else state.ema_params)
                 if pp_unstack is not None:
                     ema = pp_unstack(ema)   # pp stacked tree -> canonical params
                 if args.text2semantic:
