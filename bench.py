@@ -27,6 +27,7 @@ hubert_tokens_per_sec_per_chip (BASELINE config 3)."""
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -36,9 +37,25 @@ BASELINE_RTF = 0.05
 
 
 def parent():
-    """Retry the measurement child; never blank the round (VERDICT r2 item 1)."""
+    """Retry the measurement child; never blank the round (VERDICT r2 item 1).
+
+    Also guards the driver-kill path: if the harness times this process out
+    with SIGTERM/SIGINT while a child attempt is still retrying, emit the
+    error JSON line before dying so the round's record is parseable either
+    way."""
     attempts = int(os.environ.get("BENCH_ATTEMPTS", 4))
     last_tail = ""
+
+    def _on_signal(signum, frame):
+        print(json.dumps({
+            "metric": "dialogue_rtf_per_chip", "value": None, "unit": HEADLINE_UNIT,
+            "vs_baseline": None,
+            "error": f"killed by signal {signum} while retrying: {last_tail}",
+        }), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
     for attempt in range(attempts):
         try:
             proc = subprocess.run(
