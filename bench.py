@@ -291,6 +291,9 @@ def child():
     }
     if voc_tp_big is not None:
         out[f"vocoder_samples_per_sec_b{big}"] = round(voc_tp_big)
+    b64 = scaling.get("64", {})
+    if "rtf" in b64:
+        out["rtf_b64"] = b64["rtf"]  # BASELINE config 5: 64 concurrent dialogues
     print(json.dumps(out))
 
 
