@@ -352,6 +352,40 @@ def load_kmeans(path: str) -> np.ndarray:
 # top-level entry points
 
 
+def cfg_kwargs_from_hparams(hp: dict, kind: str | None = None) -> dict:
+    """Lightning hyper_parameters -> our config kwargs (plain dict so this
+    module stays model-import-free). Single source of truth for the
+    hparams->config mapping used by the generation CLIs and
+    verify_reference_ckpts.py (conditional_model.py:80-136 constructor
+    wiring). T2S when hp['text2semantic'] is truthy, else acoustic; pass
+    kind='t2s'/'acoustic' to override (callers that know the model family
+    out-of-band, e.g. by CLI flag, even when hparams are sparse)."""
+    if (kind == "t2s") if kind else hp.get("text2semantic", False):
+        return {
+            "dim": int(hp.get("CoVoMix_dim_transformer", 512)),
+            "source_depth": int(hp.get("text2semantic_source_depth", 4)),
+            "target_depth": int(hp.get("text2semantic_target_depth", 4)),
+            "heads": int(hp.get("text2semantic_head", 8)),
+            "num_text_tokens": int(hp.get("num_text_token_ids", 30528)),
+            "num_semantic_tokens": int(hp.get("text2semantic_tokens", 501)),
+            "target_dim": int(hp.get("target_transformer_dim")
+                              or hp.get("CoVoMix_dim_transformer", 512)),
+            "two_output": bool(hp.get("text2semantic_two_output", False)),
+            "no_source_transformer": bool(hp.get("no_source_transformer", False)),
+        }
+    mode = "two_one" if hp.get("twocondition_oneoutput") else (
+        "two_two" if hp.get("twocondition_twooutput") else "single")
+    return {
+        "dim_in": int(hp.get("CoVoMix_dim", 80)),
+        "dim": int(hp.get("CoVoMix_dim_transformer", 1024)),
+        "depth": int(hp.get("CoVoMix_depth", 8)),
+        "heads": int(hp.get("CoVoMix_heads", 16)),
+        "dim_head": int(hp.get("CoVoMix_dim_head", 64)),
+        "num_phoneme_tokens": int(hp.get("CoVoMix_num_phoneme_tokens", 502)),
+        "mode": mode,
+    }
+
+
 def convert_lightning_ckpt(path: str, *, use_ema: bool = True) -> tuple[dict, dict]:
     """PL .ckpt -> (param pytree, hyper_parameters dict). Detects acoustic vs
     T2S from the hyperparameters (conditional_model.py:97-136)."""

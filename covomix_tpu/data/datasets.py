@@ -218,17 +218,21 @@ def collate_acoustic(items: List[Dict], bucket: int = 64) -> Dict[str, np.ndarra
     return out
 
 
-def collate_t2s(items: List[Dict], tokenizer, bucket: int = 64, max_text_len: int = 512) -> Dict[str, np.ndarray]:
+def _collate_text_ids(items: List[Dict], tokenizer, max_text_len: int) -> np.ndarray:
     text_ids, _ = tokenizer.batch_encode([it["text"] for it in items], max_length=max_text_len)
     ts = _round_up(text_ids.shape[1], 16)
-    text_ids = np.pad(text_ids, ((0, 0), (0, ts - text_ids.shape[1])))
+    return np.pad(text_ids, ((0, 0), (0, ts - text_ids.shape[1]))).astype(np.int32)
+
+
+def collate_t2s(items: List[Dict], tokenizer, bucket: int = 64, max_text_len: int = 512) -> Dict[str, np.ndarray]:
+    text_ids = _collate_text_ids(items, tokenizer, max_text_len)
     n = _round_up(max(len(it["semantic"]) for it in items), bucket)
     b = len(items)
     sem_shape = (b, n) if items[0]["semantic"].ndim == 1 else (b, n, 2)
     sem = np.full(sem_shape, CODE_PAD, np.int32)
     for i, it in enumerate(items):
         sem[i, : len(it["semantic"])] = it["semantic"]
-    return {"text_ids": text_ids.astype(np.int32), "semantic_ids": sem}
+    return {"text_ids": text_ids, "semantic_ids": sem}
 
 
 def compress_token_runs(tokens: np.ndarray):
@@ -266,7 +270,7 @@ def collate_t2s_duration(items: List[Dict], tokenizer, bucket: int = 64,
     """collate_t2s for duration-predicting T2S training: semantic targets are
     run-length compressed to (unique tokens, durations) per stream, padded
     CODE_PAD / 0 (data_module.py:855-863)."""
-    base = collate_t2s(items, tokenizer, bucket=bucket, max_text_len=max_text_len)
+    text_ids = _collate_text_ids(items, tokenizer, max_text_len)
     comp = [compress_token_runs(it["semantic"]) for it in items]
     n = _round_up(max((u.shape[0] for u, _ in comp), default=1), bucket)
     streams = comp[0][0].shape[1] if comp else 1
@@ -277,7 +281,7 @@ def collate_t2s_duration(items: List[Dict], tokenizer, bucket: int = 64,
         dur[i, : d.shape[0]] = d
     if streams == 1:
         uniq, dur = uniq[..., 0], dur[..., 0]
-    return {"text_ids": base["text_ids"], "semantic_ids": uniq.astype(np.int32),
+    return {"text_ids": text_ids, "semantic_ids": uniq.astype(np.int32),
             "durations": dur.astype(np.int32)}
 
 

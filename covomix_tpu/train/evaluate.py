@@ -196,7 +196,11 @@ def evaluate_t2s(params, cfg, eval_batches, key, *, max_length: int = 512,
             wers.append(token_wer(ref_p, hyp_p))
             m = min(len(ref), len(hyp))
             accs.append(float(np.mean(ref[:m] == hyp[:m])) if m else 0.0)
-            bleu.add(ref, hyp)
+            # generate() keeps the sampled EOS (501) in the token stream; the
+            # reference strips all 501s from both sides, so strip the
+            # hypothesis too — otherwise every sentence carries one
+            # guaranteed-unmatchable token that deflates short-sequence BLEU
+            bleu.add(ref, hyp[hyp != 501])
     return {"l2": float(np.mean(wers)) if wers else float("nan"),  # logged as 'l2' like the reference
             "accuracy": float(np.mean(accs)) if accs else float("nan"),
             "token_bleu": bleu.score()}

@@ -56,30 +56,9 @@ def load_models(args):
 
         if kind == "t2s" or kind == "acoustic":
             params, hp = tc.convert_lightning_ckpt(path)
-            if kind == "t2s":
-                cfg = T.T2SConfig(
-                    dim=int(hp.get("CoVoMix_dim_transformer", 512)),
-                    source_depth=int(hp.get("text2semantic_source_depth", 4)),
-                    target_depth=int(hp.get("text2semantic_target_depth", 4)),
-                    heads=int(hp.get("text2semantic_head", 8)),
-                    num_text_tokens=int(hp.get("num_text_token_ids", 30528)),
-                    num_semantic_tokens=int(hp.get("text2semantic_tokens", 501)),
-                    target_dim=int(hp.get("target_transformer_dim") or hp.get("CoVoMix_dim_transformer", 512)),
-                    two_output=bool(hp.get("text2semantic_two_output", False)),
-                    no_source_transformer=bool(hp.get("no_source_transformer", False)),
-                )
-            else:
-                mode = "two_one" if hp.get("twocondition_oneoutput") else (
-                    "two_two" if hp.get("twocondition_twooutput") else "single")
-                cfg = A.AcousticConfig(
-                    dim_in=int(hp.get("CoVoMix_dim", 80)),
-                    dim=int(hp.get("CoVoMix_dim_transformer", 1024)),
-                    depth=int(hp.get("CoVoMix_depth", 8)),
-                    heads=int(hp.get("CoVoMix_heads", 16)),
-                    dim_head=int(hp.get("CoVoMix_dim_head", 64)),
-                    num_phoneme_tokens=int(hp.get("CoVoMix_num_phoneme_tokens", 502)),
-                    mode=mode,
-                )
+            # hparams->config mapping shared with verify_reference_ckpts.py
+            kw = tc.cfg_kwargs_from_hparams(hp, kind=kind)
+            cfg = T.T2SConfig(**kw) if kind == "t2s" else A.AcousticConfig(**kw)
             return params, cfg
         # vocoder: read vocoder_config.json beside the ckpt
         cfg_file = os.path.join(os.path.dirname(path), "vocoder_config.json")

@@ -98,6 +98,9 @@ def build_argparser():
     d.add_argument("--dummy", action="store_true")
     d.add_argument("--random_mask", action="store_true")
     d.add_argument("--bert_vocab", type=str, default=None)
+    d.add_argument("--allow_fallback_vocab", action="store_true",
+                   help="permit the char-level fallback vocab when no BERT vocab.txt is "
+                        "found (smoke runs only — its ids are checkpoint-incompatible)")
     d.add_argument("--seed", type=int, default=0)
     return p
 
@@ -197,7 +200,9 @@ def main():
         dataset = MH.ProcessShardDataset(dataset)
     steps_per_epoch = args.steps_per_epoch or max(1, len(dataset) // local_bs)
     if args.text2semantic:
-        tok = load_covomix_tokenizer(args.bert_vocab)
+        # strict like the generation CLIs: a model trained on the char-fallback
+        # ids would decode garbage under the real vocab later
+        tok = load_covomix_tokenizer(args.bert_vocab, strict=not args.allow_fallback_vocab)
         collate = lambda items: collate_t2s(items, tok)
     else:
         collate = collate_acoustic

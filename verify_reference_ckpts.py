@@ -146,32 +146,9 @@ def convert_all(args, rep: Report) -> dict:
 
 
 def _cfg_from_hparams(hp: dict) -> dict:
-    """hparams -> our config dict; same mapping as monologue_generation.load_models
-    (conditional_model.py:80-136 constructor wiring)."""
-    if hp.get("text2semantic", False):
-        return {
-            "dim": int(hp.get("CoVoMix_dim_transformer", 512)),
-            "source_depth": int(hp.get("text2semantic_source_depth", 4)),
-            "target_depth": int(hp.get("text2semantic_target_depth", 4)),
-            "heads": int(hp.get("text2semantic_head", 8)),
-            "num_text_tokens": int(hp.get("num_text_token_ids", 30528)),
-            "num_semantic_tokens": int(hp.get("text2semantic_tokens", 501)),
-            "target_dim": int(hp.get("target_transformer_dim")
-                              or hp.get("CoVoMix_dim_transformer", 512)),
-            "two_output": bool(hp.get("text2semantic_two_output", False)),
-            "no_source_transformer": bool(hp.get("no_source_transformer", False)),
-        }
-    mode = "two_one" if hp.get("twocondition_oneoutput") else (
-        "two_two" if hp.get("twocondition_twooutput") else "single")
-    return {
-        "dim_in": int(hp.get("CoVoMix_dim", 80)),
-        "dim": int(hp.get("CoVoMix_dim_transformer", 1024)),
-        "depth": int(hp.get("CoVoMix_depth", 8)),
-        "heads": int(hp.get("CoVoMix_heads", 16)),
-        "dim_head": int(hp.get("CoVoMix_dim_head", 64)),
-        "num_phoneme_tokens": int(hp.get("CoVoMix_num_phoneme_tokens", 502)),
-        "mode": mode,
-    }
+    """hparams -> our config dict; shared with the generation CLIs."""
+    from covomix_tpu.checkpoint.torch_convert import cfg_kwargs_from_hparams
+    return cfg_kwargs_from_hparams(hp)
 
 
 def _vocoder_json(args) -> dict:
