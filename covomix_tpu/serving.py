@@ -3,10 +3,12 @@
 BASELINE.md config 5: 64 concurrent dialogues through the full
 T2S -> flow-matching -> vocoder cascade on a v5e-8 mesh. The reference has no
 serving abstraction at all (inference is a per-file Python loop inside the
-CLIs, SURVEY §1); this module is the TPU-native counterpart: one jitted
-program per stage, batch axis sharded over 'dp' with NamedSharding — XLA
-keeps every stage data-parallel across chips with zero hand-written
-collectives (no TP needed at dim <= 1024, SURVEY §7 step 6)."""
+CLIs, SURVEY §1); this module is the TPU-native counterpart: the whole
+cascade traced as ONE jitted program (fused=True, the default — one dispatch
++ one fetch per batch; fused=False keeps the three per-stage programs for
+debugging), batch axis sharded over 'dp' with NamedSharding — XLA keeps
+every stage data-parallel across chips with zero hand-written collectives
+(no TP needed at dim <= 1024, SURVEY §7 step 6)."""
 
 from __future__ import annotations
 
@@ -42,6 +44,8 @@ class BatchedPipeline:
     prompt_frames: int = 400   # informational default; the actual prompt length comes from the inputs
     cond_scale: float = 0.7
     dtype: object = jnp.bfloat16
+    min_length: int = 0        # mask EOS for the first N decode steps (min-duration control)
+    fused: bool = True         # whole cascade as ONE jitted program (see _call_fused)
 
     def __post_init__(self):
         if self.mesh is not None:
@@ -54,7 +58,8 @@ class BatchedPipeline:
         else:
             self._dp = None
         self._gen = jax.jit(functools.partial(
-            T.generate, cfg=self.t2s_cfg, max_length=self.decode_len, dtype=self.dtype))
+            T.generate, cfg=self.t2s_cfg, max_length=self.decode_len,
+            min_length=self.min_length, dtype=self.dtype))
         self._sample = jax.jit(functools.partial(
             A.sample, cfg=self.acoustic_cfg, cond_scale=self.cond_scale, dtype=self.dtype))
         self._voc = jax.jit(functools.partial(V.generator, cfg=self.vocoder_cfg, dtype=self.dtype))
@@ -68,12 +73,75 @@ class BatchedPipeline:
             return jax.vmap(one)(mel, starts)
 
         self._slice_gen = jax.jit(slice_gen)
+        self._fused = jax.jit(self._fused_impl) if self.fused else None
 
     def _shard(self, x):
         if self._dp is None:
             return x
         nd = np.ndim(x)
         return jax.device_put(x, NamedSharding(self.mesh, P(*(["dp"] + [None] * (nd - 1)))))
+
+    def _fused_impl(self, t2s_params, ac_params, voc_params, key, text_ids,
+                    prompt_tokens, prompt_mels, prompt_lens):
+        """The whole cascade — T2S AR decode, per-row left-packing, flow
+        sampling, generated-region slice, vocoder — as ONE traced program.
+
+        The staged path pays a host round trip per stage (the axon tunnel
+        serializes dispatches at ~34 ms each), downloads every token, packs
+        rows in a Python loop, and re-uploads a [B, total, cond_dim] tensor
+        the device already had the prompt half of. Here packing is device-side
+        vmap'd `dynamic_slice` shifts (NOT a 2D gather — big-index gathers
+        stall on this stack, CLAUDE.md), so serving is one dispatch + one
+        fetch per batch. Semantics are identical to the staged path
+        (tests/test_serving_parity.py::test_fused_matches_staged)."""
+        two = self.acoustic_cfg.n_phoneme_streams == 2
+        L = self.decode_len
+        pmax = prompt_tokens.shape[1]
+        total = pmax + L
+        k1, k2 = jax.random.split(key)
+        gen = self._gen(t2s_params, key=k1, source_ids=text_ids)
+        gen_lens = (jnp.minimum(gen.lengths, gen.lengths2) if two
+                    else gen.lengths).astype(jnp.int32)
+
+        def pack_row(tok1, tok2, g, pt_row, pmel_row, p):
+            # [prompt_row[:p] ‖ tokens[:g] ‖ 157-filler], built positionally:
+            # tokens are shifted to start at p via a dynamic_slice of a
+            # statically left-padded buffer (index pmax-p+j == tok[j-p])
+            j = jnp.arange(total)
+            if two:
+                tok = jnp.stack([jnp.clip(tok1, 0, 501), jnp.clip(tok2, 0, 501)], axis=-1)
+                tok_pad = jnp.concatenate(
+                    [jnp.full((pmax, 2), 157, jnp.int32), tok.astype(jnp.int32)], axis=0)
+                shifted = jax.lax.dynamic_slice(tok_pad, (pmax - p, 0), (total, 2))
+                pt_full = jnp.concatenate(
+                    [pt_row.astype(jnp.int32), jnp.full((L, 2), 157, jnp.int32)], axis=0)
+                sel = jnp.where((j < p)[:, None], pt_full,
+                                jnp.where((j < p + g)[:, None], shifted, 157))
+            else:
+                tok_pad = jnp.concatenate(
+                    [jnp.full((pmax,), 157, jnp.int32), jnp.clip(tok1, 0, 501).astype(jnp.int32)])
+                shifted = jax.lax.dynamic_slice(tok_pad, (pmax - p,), (total,))
+                pt_full = jnp.concatenate(
+                    [pt_row.astype(jnp.int32), jnp.full((L,), 157, jnp.int32)])
+                sel = jnp.where(j < p, pt_full, jnp.where(j < p + g, shifted, 157))
+            pm_full = jnp.concatenate(
+                [pmel_row, jnp.zeros((L, pmel_row.shape[-1]), pmel_row.dtype)], axis=0)
+            cond_row = jnp.where((j < p)[:, None], pm_full, 0.0)
+            return sel, cond_row
+
+        phonemes, cond = jax.vmap(pack_row)(
+            gen.tokens, gen.tokens2, gen_lens, prompt_tokens, prompt_mels, prompt_lens)
+        valid = prompt_lens.astype(jnp.int32) + gen_lens
+        mel = A.sample(ac_params, self.acoustic_cfg, k2, phoneme_ids=phonemes, cond=cond,
+                       cond_scale=self.cond_scale, valid_len=valid, dtype=self.dtype)
+
+        def one(m, s):
+            return jax.lax.dynamic_slice(m, (s, 0), (L, m.shape[1]))
+
+        mel_gen = jax.vmap(one)(mel, prompt_lens)
+        wav = V.generator(voc_params, self.vocoder_cfg, mel=mel_gen, dtype=self.dtype,
+                          valid_len=gen_lens)
+        return wav, gen
 
     def __call__(self, key, text_ids: np.ndarray, prompt_tokens: np.ndarray,
                  prompt_mels: np.ndarray, prompt_lens: Optional[np.ndarray] = None):
@@ -96,9 +164,20 @@ class BatchedPipeline:
         conv. Result: batched output == per-file pipeline.Synthesizer output
         on mixed-length batches (tests/test_serving_parity.py)."""
         b = text_ids.shape[0]
+        two = self.acoustic_cfg.n_phoneme_streams == 2
+        if self.fused:
+            pt = np.asarray(prompt_tokens)
+            if two and pt.ndim == 2:
+                pt = np.stack([pt, pt], axis=-1)
+            if prompt_lens is None:
+                prompt_lens = np.full((b,), pt.shape[1], np.int32)
+            return self._fused(
+                self.t2s_params, self.acoustic_params, self.vocoder_params, key,
+                self._shard(jnp.asarray(text_ids)), self._shard(jnp.asarray(pt)),
+                self._shard(jnp.asarray(prompt_mels, jnp.float32)),
+                self._shard(jnp.asarray(prompt_lens, jnp.int32)))
         k1, k2 = jax.random.split(key)
         gen = self._gen(self.t2s_params, key=k1, source_ids=self._shard(jnp.asarray(text_ids)))
-        two = self.acoustic_cfg.n_phoneme_streams == 2
         L = self.decode_len
         tok1 = np.asarray(gen.tokens)             # [B, L] pad-filled after EOS
         len1 = np.asarray(gen.lengths)

@@ -34,6 +34,9 @@ def main():
     p.add_argument("--allow_fallback_vocab", action="store_true",
                    help="permit the checkpoint-incompatible char-level fallback vocab")
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--staged", action="store_true",
+                   help="run the cascade as three per-stage programs instead of the "
+                        "default single fused jit (debugging / per-stage timing)")
     p.add_argument("--multihost", action="store_true",
                    help="multi-host serving: jax.distributed rendezvous, then each "
                         "host serves its rank-strided slice of the scripts on its "
@@ -67,7 +70,7 @@ def main():
     pipe = BatchedPipeline(
         synth.t2s_params, synth.t2s_cfg, synth.acoustic_params, synth.acoustic_cfg,
         synth.vocoder_params, synth.vocoder_cfg, mesh=mesh,
-        decode_len=args.decode_len, dtype=synth.dtype)
+        decode_len=args.decode_len, dtype=synth.dtype, fused=not args.staged)
 
     os.makedirs(args.saved_dir, exist_ok=True)
     scripts = sorted(glob.glob(os.path.join(args.text_dir, "*.txt")))

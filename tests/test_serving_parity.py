@@ -98,8 +98,12 @@ def test_batched_pipeline_call_equals_direct():
     ac_params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(1), AC_CFG)
     voc_params = jax.jit(V.init_generator, static_argnums=1)(jax.random.PRNGKey(2), VOC_CFG)
 
+    # fused=False: this test validates the packing against a DIRECT
+    # stage-by-stage computation at 1e-6 — run the identically-staged path
+    # (fused-vs-staged equivalence is covered at 1e-4 below; one fused XLA
+    # program fuses differently and rounds a few ulp apart)
     pipe = BatchedPipeline(t2s_params, T2S_CFG, ac_params, AC_CFG, voc_params, VOC_CFG,
-                           decode_len=L, dtype=jnp.float32)
+                           decode_len=L, dtype=jnp.float32, fused=False)
 
     # stub the T2S stage with handcrafted per-row lengths (pad-filled after)
     pad = T2S_CFG.semantic_pad_id
@@ -144,3 +148,60 @@ def test_batched_pipeline_call_equals_direct():
     up = VOC_CFG.total_upsample
     for i in range(B):
         assert np.isfinite(wav[i, : int(GEN_LENS[i]) * up]).all()
+
+
+def test_fused_matches_staged():
+    """fused=True (the whole cascade as ONE jitted program, device-side
+    packing) must reproduce fused=False (three dispatches, host-side numpy
+    packing) bit-for-bit: same key split, same packing layout, same
+    valid-length handling — with the REAL T2S decode in the loop."""
+    rs = np.random.RandomState(3)
+    t2s_params = jax.jit(T.init, static_argnums=1)(jax.random.PRNGKey(0), T2S_CFG)
+    ac_params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(1), AC_CFG)
+    voc_params = jax.jit(V.init_generator, static_argnums=1)(jax.random.PRNGKey(2), VOC_CFG)
+
+    kw = dict(decode_len=L, dtype=jnp.float32)
+    fused = BatchedPipeline(t2s_params, T2S_CFG, ac_params, AC_CFG, voc_params, VOC_CFG,
+                            fused=True, **kw)
+    staged = BatchedPipeline(t2s_params, T2S_CFG, ac_params, AC_CFG, voc_params, VOC_CFG,
+                             fused=False, **kw)
+
+    prompt_tok = rs.randint(0, 500, (B, PMAX)).astype(np.int32)  # [B, P]: exercises 2-stream stacking
+    prompt_mel = rs.randn(B, PMAX, 160).astype(np.float32) * 0.1
+    text_ids = rs.randint(1, 200, (B, 6))
+    key = jax.random.PRNGKey(11)
+
+    wav_f, gen_f = fused(key, text_ids, prompt_tok, prompt_mel, prompt_lens=PROMPT_LENS)
+    wav_s, gen_s = staged(key, text_ids, prompt_tok, prompt_mel, prompt_lens=PROMPT_LENS)
+    np.testing.assert_array_equal(np.asarray(gen_f.tokens), np.asarray(gen_s.tokens))
+    np.testing.assert_array_equal(np.asarray(gen_f.lengths), np.asarray(gen_s.lengths))
+    assert wav_f.shape == wav_s.shape
+    # one fused XLA program vs three staged programs: same math, different
+    # fusion/rounding order — equality up to a few f32 ulp of the ~0.05 wav scale
+    assert np.abs(np.asarray(wav_f) - np.asarray(wav_s)).max() < 1e-4
+
+
+def test_fused_matches_staged_single_stream():
+    """Same check on the single-stream (VoSingle) packing branch."""
+    rs = np.random.RandomState(4)
+    ac_cfg = dataclasses.replace(AC_CFG, dim_in=80, mode="single")
+    t2s_cfg = dataclasses.replace(T2S_CFG, two_output=False, target_dim=32)
+    t2s_params = jax.jit(T.init, static_argnums=1)(jax.random.PRNGKey(0), t2s_cfg)
+    ac_params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(1), ac_cfg)
+    voc_params = jax.jit(V.init_generator, static_argnums=1)(jax.random.PRNGKey(2), VOC_CFG)
+
+    kw = dict(decode_len=L, dtype=jnp.float32)
+    fused = BatchedPipeline(t2s_params, t2s_cfg, ac_params, ac_cfg, voc_params, VOC_CFG,
+                            fused=True, **kw)
+    staged = BatchedPipeline(t2s_params, t2s_cfg, ac_params, ac_cfg, voc_params, VOC_CFG,
+                             fused=False, **kw)
+
+    prompt_tok = rs.randint(0, 500, (B, PMAX)).astype(np.int32)
+    prompt_mel = rs.randn(B, PMAX, 80).astype(np.float32) * 0.1
+    text_ids = rs.randint(1, 200, (B, 6))
+    key = jax.random.PRNGKey(13)
+
+    wav_f, gen_f = fused(key, text_ids, prompt_tok, prompt_mel, prompt_lens=PROMPT_LENS)
+    wav_s, gen_s = staged(key, text_ids, prompt_tok, prompt_mel, prompt_lens=PROMPT_LENS)
+    np.testing.assert_array_equal(np.asarray(gen_f.tokens), np.asarray(gen_s.tokens))
+    assert np.abs(np.asarray(wav_f) - np.asarray(wav_s)).max() < 1e-4
