@@ -2,6 +2,7 @@
 # CoSingle text2semantic recipe (parity with reference running_command/T2S_CoSingle.sh)
 python train.py \
   --base_dir "$1" --format text2semantic --text2semantic \
+  --bert_vocab "${BERT_VOCAB:?set BERT_VOCAB to bert-base-uncased vocab.txt}" \
   --CoVoMix_dim_transformer 512 --text2semantic_tokens 501 \
   --text2semantic_source_depth 4 --text2semantic_target_depth 4 --text2semantic_head 8 \
   --batch_size 10 --lr 1e-4 --lr_scheduler --max_epochs 500 --dp 8
