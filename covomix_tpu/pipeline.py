@@ -73,11 +73,27 @@ class Synthesizer:
     # same trade as hifigan_inference --fuse_tail). False (default): exact —
     # `valid_len` masking matches reference-convention exact-length vocoding.
     fuse_tail: bool = False
+    # True: greedy self-speculative T2S decode (generate_speculative — the
+    # early-exit head drafts, the full depth verifies; output equals greedy
+    # generate exactly). Requires a single-stream checkpoint trained with
+    # target_early_exit_layer > 0; the released reference checkpoints have no
+    # such head, so this is opt-in.
+    speculative: bool = False
 
     def __post_init__(self):
-        self._gen_fn = jax.jit(functools.partial(
-            T.generate, cfg=self.t2s_cfg, max_length=self.t2s_max_length,
-            temperature=self.temperature, cond_scale=self.t2s_cond_scale, dtype=self.dtype))
+        if self.speculative:
+            if self.t2s_cfg.two_output or self.t2s_cfg.target_early_exit_layer <= 0:
+                raise ValueError("--speculative needs a single-stream T2S checkpoint "
+                                 "with an early-exit head (target_early_exit_layer > 0)")
+            spec = jax.jit(functools.partial(
+                T.generate_speculative, cfg=self.t2s_cfg,
+                max_length=self.t2s_max_length, dtype=self.dtype))
+            # greedy: the sampling key and temperature/CFG knobs don't apply
+            self._gen_fn = lambda params, key, source_ids: spec(params, source_ids=source_ids)
+        else:
+            self._gen_fn = jax.jit(functools.partial(
+                T.generate, cfg=self.t2s_cfg, max_length=self.t2s_max_length,
+                temperature=self.temperature, cond_scale=self.t2s_cond_scale, dtype=self.dtype))
         self._sample_fn = jax.jit(functools.partial(
             A.sample, cfg=self.acoustic_cfg, cond_scale=self.cond_scale, dtype=self.dtype))
         # fuse_tail=None keeps the generator's auto dispatch (Pallas tail on

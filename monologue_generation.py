@@ -99,7 +99,8 @@ def load_models(args):
         dtype = jnp.float32
     return Synthesizer(t2s_params, t2s_cfg, ac_params, ac_cfg, voc_params, voc_cfg, tok,
                        mel_cfg=mel_cfg, dtype=dtype,
-                       fuse_tail=getattr(args, "fuse_tail", False))
+                       fuse_tail=getattr(args, "fuse_tail", False),
+                       speculative=getattr(args, "speculative", False))
 
 
 def main():
@@ -119,6 +120,9 @@ def main():
     parser.add_argument("--fuse_tail", action="store_true",
                         help="vocode with the fused Pallas tail kernel (~2.7x faster tail; "
                              "the last ~0.3 s of each wav approximates exact-length inference)")
+    parser.add_argument("--speculative", action="store_true",
+                        help="greedy self-speculative T2S decode (needs a single-stream "
+                             "checkpoint trained with an early-exit head)")
     parser.add_argument("--bf16", action="store_true", help="force bfloat16 compute (default on TPU)")
     parser.add_argument("--f32", action="store_true", help="force float32 compute")
     args = parser.parse_args()

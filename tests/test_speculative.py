@@ -52,3 +52,35 @@ def test_speculative_fewer_iterations_when_draft_agrees(params):
     # every iteration accepts at least 1 token -> at most max_length iterations
     assert int(spec.num_steps) <= 12
     assert int(spec.num_steps) >= 3  # 12 tokens / (gamma+1)=4 max per iter
+
+
+def test_synthesizer_speculative_wiring(params):
+    """pipeline.Synthesizer(speculative=True) routes text_to_tokens through
+    generate_speculative (greedy-exact), and rejects configs without the
+    early-exit head."""
+    import dataclasses as dc
+
+    from covomix_tpu.models import acoustic as A, vocoder as V
+    from covomix_tpu.pipeline import Synthesizer
+
+    class _Tok:
+        def batch_encode(self, texts, max_length=512):
+            ids = np.array([[5, 9, 3, 2]], np.int32)
+            return ids, np.ones_like(ids, bool)
+
+    ac_cfg = A.AcousticConfig(dim=32, depth=2, heads=2, dim_head=16,
+                              dim_phoneme_emb=16, num_phoneme_tokens=33)
+    voc_cfg = V.VocoderConfig(upsample_initial_channel=16)
+    kw = dict(
+        t2s_params=params, t2s_cfg=CFG,
+        acoustic_params=jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(1), ac_cfg),
+        acoustic_cfg=ac_cfg,
+        vocoder_params=jax.jit(V.init_generator, static_argnums=1)(jax.random.PRNGKey(2), voc_cfg),
+        vocoder_cfg=voc_cfg, tokenizer=_Tok(), t2s_max_length=12)
+    synth = Synthesizer(speculative=True, **kw)
+    toks = synth.text_to_tokens("hello", jax.random.PRNGKey(0))
+    ref = _greedy_reference(params, jnp.asarray([[5, 9, 3, 2]]), 12)[0]
+    np.testing.assert_array_equal(toks, ref[ref != CFG.semantic_pad_id])
+
+    with pytest.raises(ValueError):
+        Synthesizer(speculative=True, **{**kw, "t2s_cfg": dc.replace(CFG, target_early_exit_layer=0)})
