@@ -285,6 +285,32 @@ def collate_t2s_duration(items: List[Dict], tokenizer, bucket: int = 64,
             "durations": dur.astype(np.int32)}
 
 
+_STACK_PAD = {"x": MEL_PAD, "phonemes": CODE_PAD, "mask": False,
+              "text_ids": 0, "semantic_ids": CODE_PAD, "durations": 0}
+
+
+def stack_microbatches(batches: List[Dict]) -> Dict[str, np.ndarray]:
+    """Stack A collated batches into [A, b, ...] for gradient accumulation.
+
+    Each collate buckets its own max length, so time/token axes can differ
+    across micro-batches; leaves are padded up to the common max with the
+    SAME pad value the collate used (mask False / mel -15 / codes 501 /
+    text 0 — training-time pad semantics, CLAUDE.md), which the losses
+    already ignore."""
+    keys = batches[0].keys()
+    out = {}
+    for k in keys:
+        leaves = [np.asarray(b[k]) for b in batches]
+        tgt = tuple(max(a.shape[d] for a in leaves) for d in range(leaves[0].ndim))
+        pad_val = _STACK_PAD.get(k, 0)
+        padded = []
+        for a in leaves:
+            pw = [(0, t - s) for s, t in zip(a.shape, tgt)]
+            padded.append(np.pad(a, pw, constant_values=pad_val) if any(p[1] for p in pw) else a)
+        out[k] = np.stack(padded)
+    return out
+
+
 def data_loader(dataset, batch_size: int, collate, *, shuffle=True, seed=0, drop_last=True,
                 num_workers: int = 0, transfer=None):
     """Epoch iterator (decode + pad in numpy). With num_workers > 0 the

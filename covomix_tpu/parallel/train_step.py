@@ -14,17 +14,25 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from covomix_tpu.parallel.mesh import batch_shardings, make_mesh, param_shardings, replicated, shard_tree
-from covomix_tpu.train.loop import TrainConfig, TrainState, init_train_state, make_optimizer, ema_update
+from covomix_tpu.train.loop import (TrainConfig, TrainState, accumulated_value_and_grad,
+                                    init_train_state, make_optimizer, ema_update)
 
 import optax
 
 
-def _constrain_batch(mesh, batch):
-    """Pin every batch leaf's leading axis to 'dp' (replicate scalars)."""
+def _constrain_batch(mesh, batch, accum: bool = False):
+    """Pin every batch leaf's batch axis to 'dp' (replicate scalars). With
+    grad accumulation the leaves carry a leading accum axis [A, b, ...] —
+    the accum axis stays unsharded, axis 1 is the dp-sharded batch."""
 
     def con(leaf):
         nd = jax.numpy.ndim(leaf)
-        spec = P() if nd == 0 else P(*(["dp"] + [None] * (nd - 1)))
+        if nd == 0:
+            spec = P()
+        elif accum:
+            spec = P(*([None, "dp"] + [None] * (nd - 2)))
+        else:
+            spec = P(*(["dp"] + [None] * (nd - 1)))
         return jax.lax.with_sharding_constraint(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(con, batch)
@@ -44,10 +52,11 @@ def make_sharded_train_step(
     tx = make_optimizer(cfg)
     con = lambda tree: jax.tree_util.tree_map(
         lambda x, s: jax.lax.with_sharding_constraint(x, s), tree, params_sharding)
+    vg = accumulated_value_and_grad(loss_fn, cfg.grad_accum)
 
     def step(state: TrainState, batch, key):
-        batch = _constrain_batch(mesh, batch)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        batch = _constrain_batch(mesh, batch, accum=cfg.grad_accum > 1)
+        loss, grads = vg(state.params, batch, key)
         grads = con(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = con(optax.apply_updates(state.params, updates))
@@ -66,5 +75,15 @@ def init_sharded_state(params, cfg: TrainConfig, mesh, *, tp: bool = True, fsdp:
     return state, p_shard
 
 
-def shard_batch(mesh, batch):
-    return shard_tree(batch, batch_shardings(mesh, batch))
+def shard_batch(mesh, batch, accum: bool = False):
+    """Place a host batch on the mesh ('dp' over the batch axis; with
+    `accum`, leaves are [A, b, ...] and axis 1 is the dp axis)."""
+    if not accum:
+        return shard_tree(batch, batch_shardings(mesh, batch))
+
+    def sh(leaf):
+        nd = jax.numpy.ndim(leaf)
+        spec = P() if nd == 0 else P(*([None, "dp"] + [None] * (nd - 2)))
+        return NamedSharding(mesh, spec)
+
+    return shard_tree(batch, jax.tree_util.tree_map(sh, batch))

@@ -41,6 +41,9 @@ class TrainConfig:
     decay_start_epoch: int = 30
     steps_per_epoch: int = 1000
     grad_clip: Optional[float] = None
+    # micro-batches per optimizer step (reproduce the reference's 8-GPU
+    # global batch on fewer chips: batch leaves carry a leading accum axis)
+    grad_accum: int = 1
 
 
 def reference_lr_schedule(cfg: TrainConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -85,13 +88,45 @@ def ema_update(ema_params, params, num_updates, decay: float):
     return jax.tree_util.tree_map(lambda e, p: e - (1.0 - d) * (e - p), ema_params, params)
 
 
+def accumulated_value_and_grad(loss_fn: Callable, grad_accum: int):
+    """value_and_grad over `grad_accum` micro-batches via lax.scan.
+
+    With grad_accum > 1 the batch leaves carry a leading accum axis
+    [A, b, ...]; the returned loss/grads are the MEAN over micro-batches —
+    exactly DDP's per-rank grad averaging (the reference's 8-GPU recipes,
+    train.py:82), so micro-batches with different valid-element counts weigh
+    equally, while only one micro-batch's activations are live at a time."""
+    vg = jax.value_and_grad(loss_fn)
+    if grad_accum <= 1:
+        return vg
+
+    def run(params, batch, key):
+        keys = jax.random.split(key, grad_accum)
+        zeros = jax.tree_util.tree_map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+
+        def body(carry, xs):
+            lsum, gsum = carry
+            mb, k = xs
+            loss, grads = vg(params, mb, k)
+            gsum = jax.tree_util.tree_map(lambda a, g: a + g.astype(jnp.float32), gsum, grads)
+            return (lsum + loss.astype(jnp.float32), gsum), None
+
+        (lsum, gsum), _ = jax.lax.scan(body, (jnp.zeros((), jnp.float32), zeros), (batch, keys))
+        inv = 1.0 / grad_accum
+        return lsum * inv, jax.tree_util.tree_map(
+            lambda g, p: (g * inv).astype(p.dtype), gsum, params)
+
+    return run
+
+
 def make_train_step(loss_fn: Callable, cfg: TrainConfig, donate: bool = True):
     """loss_fn(params, batch, key) -> scalar loss. Returns jitted
     step(state, batch, key) -> (state, metrics)."""
     tx = make_optimizer(cfg)
+    vg = accumulated_value_and_grad(loss_fn, cfg.grad_accum)
 
     def step(state: TrainState, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        loss, grads = vg(state.params, batch, key)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = ema_update(state.ema_params, params, state.ema_num_updates, cfg.ema_decay)

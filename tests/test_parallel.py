@@ -98,3 +98,32 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (2, 256, 80)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_grad_accum_sharded_matches_unsharded():
+    """grad_accum=2 on the dp mesh ([A, b, ...] batches, axis 1 sharded) ==
+    the same accumulated step on one device."""
+    key = jax.random.PRNGKey(21)
+    params = jax.jit(A.init, static_argnums=1)(key, CFG)
+    cfg = TrainConfig(lr=1e-3, grad_accum=2)
+    loss_fn = acoustic_loss_fn(CFG)
+    batch = {
+        "x": jax.random.normal(key, (2, 8, 16, 80)),
+        "phonemes": jax.random.randint(key, (2, 8, 16), 0, 502),
+        "mask": jnp.ones((2, 8, 16), bool),
+    }
+    k = jax.random.PRNGKey(22)
+
+    state0 = init_train_state(params, cfg)
+    step0 = make_train_step(loss_fn, cfg, donate=False)
+    s0, m0 = step0(state0, batch, k)
+
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        state, p_shard = init_sharded_state(params, cfg, mesh, tp=False, fsdp=False)
+        step = make_sharded_train_step(loss_fn, cfg, mesh, p_shard)
+        sbatch = shard_batch(mesh, jax.tree_util.tree_map(np.asarray, batch), accum=True)
+        s1, m1 = step(state, sbatch, k)
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params), jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)

@@ -125,3 +125,95 @@ def test_metrics_logger_wandb_fallback(tmp_path, capsys):
     lg.log(1, {"loss": 0.5})
     lg.close()
     assert "W&B" not in capsys.readouterr().out
+
+
+def test_grad_accum_matches_mean_of_microbatch_grads():
+    """accumulated_value_and_grad == mean of per-micro-batch value_and_grad
+    (DDP per-rank averaging semantics, reference train.py:82)."""
+    from covomix_tpu.train.loop import accumulated_value_and_grad, acoustic_loss_fn
+
+    key = jax.random.PRNGKey(0)
+    params = A.init(key, CFG)
+    loss_fn = acoustic_loss_fn(CFG)
+    A_, b, T = 3, 2, 24
+    rs = np.random.RandomState(1)
+    batch = {
+        "x": jnp.asarray(rs.randn(A_, b, T, 80).astype(np.float32)),
+        "phonemes": jnp.asarray(rs.randint(0, 502, (A_, b, T))),
+        "mask": jnp.asarray(rs.rand(A_, b, T) > 0.3),
+    }
+    k = jax.random.PRNGKey(7)
+    loss_acc, grads_acc = jax.jit(accumulated_value_and_grad(loss_fn, A_))(params, batch, k)
+
+    keys = jax.random.split(k, A_)
+    losses, grads = [], []
+    for i in range(A_):
+        mb = jax.tree_util.tree_map(lambda a, i=i: a[i], batch)
+        l, g = jax.value_and_grad(loss_fn)(params, mb, keys[i])
+        losses.append(float(l))
+        grads.append(g)
+    np.testing.assert_allclose(float(loss_acc), np.mean(losses), rtol=1e-5)
+    mean_g = jax.tree_util.tree_map(lambda *gs: sum(np.asarray(x, np.float64) for x in gs) / A_, *grads)
+    flat_a, _ = jax.tree_util.tree_flatten(grads_acc)
+    flat_m, _ = jax.tree_util.tree_flatten(mean_g)
+    for ga, gm in zip(flat_a, flat_m):
+        np.testing.assert_allclose(np.asarray(ga, np.float64), gm, rtol=2e-4, atol=1e-6)
+
+
+def test_grad_accum_train_step_trajectory():
+    """3 optimizer steps with grad_accum=2 == 3 steps on the equivalent flat
+    batch when micro-batches have identical valid counts (mean of means ==
+    global mean)."""
+    from covomix_tpu.train.loop import acoustic_loss_fn, make_train_step
+
+    key = jax.random.PRNGKey(3)
+    params = A.init(key, CFG)
+    cfg1 = TrainConfig(lr=1e-3)
+    cfg2 = TrainConfig(lr=1e-3, grad_accum=2)
+    loss_fn = acoustic_loss_fn(CFG)
+    s1 = init_train_state(params, cfg1)
+    s2 = init_train_state(params, cfg2)
+    step1 = make_train_step(loss_fn, cfg1, donate=False)
+    step2 = make_train_step(loss_fn, cfg2, donate=False)
+    rs = np.random.RandomState(5)
+    T = 16
+    for i in range(3):
+        x = rs.randn(4, T, 80).astype(np.float32)
+        ph = rs.randint(0, 502, (4, T))
+        mask = np.ones((4, T), bool)   # equal valid counts per micro-batch
+        k = jax.random.PRNGKey(50 + i)
+        # flat step must see the same per-example keys as the accum step:
+        # accumulate manually with the split keys for the reference trajectory
+        keys = jax.random.split(k, 2)
+        l0, g0 = jax.value_and_grad(loss_fn)(s1.params, {"x": jnp.asarray(x[:2]), "phonemes": jnp.asarray(ph[:2]), "mask": jnp.asarray(mask[:2])}, keys[0])
+        l1, g1 = jax.value_and_grad(loss_fn)(s1.params, {"x": jnp.asarray(x[2:]), "phonemes": jnp.asarray(ph[2:]), "mask": jnp.asarray(mask[2:])}, keys[1])
+        import optax
+        from covomix_tpu.train.loop import TrainState, ema_update, make_optimizer
+        tx = make_optimizer(cfg1)
+        grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g0, g1)
+        updates, opt_state = tx.update(grads, s1.opt_state, s1.params)
+        new_params = optax.apply_updates(s1.params, updates)
+        ema = ema_update(s1.ema_params, new_params, s1.ema_num_updates, cfg1.ema_decay)
+        s1 = TrainState(new_params, opt_state, ema, s1.ema_num_updates + 1, s1.step + 1)
+
+        batch2 = {"x": jnp.asarray(x.reshape(2, 2, T, 80)),
+                  "phonemes": jnp.asarray(ph.reshape(2, 2, T)),
+                  "mask": jnp.asarray(mask.reshape(2, 2, T))}
+        s2, m2 = step2(s2, batch2, k)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
+def test_stack_microbatches_pads_with_collate_values():
+    from covomix_tpu.data.datasets import stack_microbatches
+
+    b1 = {"x": np.zeros((2, 8, 80), np.float32), "phonemes": np.zeros((2, 8), np.int64),
+          "mask": np.ones((2, 8), bool)}
+    b2 = {"x": np.zeros((2, 12, 80), np.float32), "phonemes": np.zeros((2, 12), np.int64),
+          "mask": np.ones((2, 12), bool)}
+    out = stack_microbatches([b1, b2])
+    assert out["x"].shape == (2, 2, 12, 80)
+    assert (out["x"][0, :, 8:] == -15.0).all()
+    assert (out["phonemes"][0, :, 8:] == 501).all()
+    assert (~out["mask"][0, :, 8:]).all()
+    assert out["mask"][1].all()

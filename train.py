@@ -33,6 +33,10 @@ def build_argparser():
     t.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     t.add_argument("--pp", type=int, default=1, help="pipeline-parallel stages (acoustic only; GPipe over 'pp')")
     t.add_argument("--pp_microbatches", type=int, default=4, help="GPipe microbatches per step")
+    t.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batches accumulated per optimizer step (DDP-mean "
+                        "semantics) — reproduce the reference's 8-GPU global batch "
+                        "on fewer chips; --batch_size is the micro-batch size")
     t.add_argument("--sp", type=int, default=1, help="sequence-parallel shards (acoustic only; ring attention over 'sp')")
     t.add_argument("--fsdp", action="store_true", help="shard params over dp (ZeRO-style)")
     t.add_argument("--bmuf_sync", type=int, default=0,
@@ -117,7 +121,8 @@ def main():
     import numpy as np
 
     from covomix_tpu.checkpoint import io as cio
-    from covomix_tpu.data.datasets import CoVoMixDataset, collate_acoustic, collate_t2s, data_loader
+    from covomix_tpu.data.datasets import (CoVoMixDataset, collate_acoustic, collate_t2s,
+                                           data_loader, stack_microbatches)
     from covomix_tpu.data.tokenizer import load_covomix_tokenizer
     from covomix_tpu.models import acoustic as A, text2semantic as T
     from covomix_tpu.parallel import multihost as MH
@@ -198,7 +203,9 @@ def main():
     local_bs = args.batch_size // n_proc
     if n_proc > 1:
         dataset = MH.ProcessShardDataset(dataset)
-    steps_per_epoch = args.steps_per_epoch or max(1, len(dataset) // local_bs)
+    # one optimizer step consumes grad_accum micro-batches of local_bs rows
+    steps_per_epoch = args.steps_per_epoch or max(
+        1, len(dataset) // (local_bs * max(1, args.grad_accum)))
     if args.text2semantic:
         # strict like the generation CLIs: a model trained on the char-fallback
         # ids would decode garbage under the real vocab later
@@ -218,9 +225,13 @@ def main():
         sys.exit("--fsdp with --multihost needs an all-gather before host "
                  "checkpointing (params are not host-addressable); run multihost "
                  "with replicated params (dp/tp) for now")
+    if args.grad_accum > 1 and (args.pp > 1 or args.sp > 1 or args.bmuf_sync or n_proc > 1):
+        sys.exit("--grad_accum composes with single-host dp/tp/fsdp only (pp has its "
+                 "own microbatching; bmuf accumulates via local steps)")
     train_cfg = TrainConfig(lr=args.lr, ema_decay=args.ema_decay, use_lr_schedule=args.lr_scheduler,
                             total_epochs=args.total_epochs, wake_up_epochs=args.wake_up_epochs,
-                            decay_start_epoch=args.decay_start_epoch, steps_per_epoch=steps_per_epoch)
+                            decay_start_epoch=args.decay_start_epoch, steps_per_epoch=steps_per_epoch,
+                            grad_accum=args.grad_accum)
 
     def acoustic_split(x):
         return (x[..., -80:], x[..., :-80]) if model_cfg.mode == "two_one" else (x, x)
@@ -341,6 +352,9 @@ def main():
                 # host-local rows -> global sharded arrays (no host ever
                 # materializes the full global batch)
                 batch = MH.global_batch_from_local(mesh, next(loader), args.batch_size)
+            elif args.grad_accum > 1:
+                batch = shard_batch(mesh, stack_microbatches(
+                    [next(loader) for _ in range(args.grad_accum)]), accum=True)
             else:
                 batch = shard_batch(mesh, next(loader))
             key, sub = jax.random.split(key)
