@@ -70,26 +70,45 @@ class CoVoMixDataset:
                 )
             else:
                 self.files = sorted(glob.glob(os.path.join(self.base_dir, "**", "*.mel.npy"), recursive=True))
-                if self.format == "hubert_overlap_two_input_one_output":
-                    self.files = [f for f in self.files if "-A" not in f and "-B" not in f]
+                if self.format.startswith("hubert_overlap_two_input"):
+                    # dialogue corpora carry per-channel -A/-B mels; the item
+                    # list is the channel-suffix-stripped base names derived
+                    # from the -A files (reference builds lists the same way,
+                    # data_module.py:233/:413-434). basename check, not
+                    # substring — a '-A'/'-B' in a directory name must not
+                    # filter everything. For two_input_two_output the base
+                    # .mel.npy need not exist on disk (__getitem__ loads only
+                    # the channel files); for one_output it is the mixed mel.
+                    self.files = sorted(
+                        f[: -len("-A.mel.npy")] + ".mel.npy"
+                        for f in self.files if os.path.basename(f).endswith("-A.mel.npy"))
+                    if self.format == "hubert_overlap_two_input_one_output":
+                        # the mixed base mel is this format's training target
+                        self.files = [f for f in self.files if os.path.exists(f)]
         if self.dummy:
             self.files = self.files[: max(1, len(self.files) // 150)]
-        # short-utterance pool for the 2-speaker synthetic augmentation
-        self.short_files = self.files
+        # short-utterance pool for the 2-speaker synthetic augmentation: only
+        # single-speaker items — a _1/_2 pair file would map to a nonexistent
+        # 'xxx_1.txt' in read_txt (the reference draws this pool from a
+        # separate single-speaker list, data_module.py:265/:487)
+        self.short_files = [f for f in self.files
+                            if not os.path.basename(f).endswith("_1.hubert_code.npy")] or self.files
 
     def __len__(self):
         return len(self.files)
 
     # ---- acoustic items ----------------------------------------------------
 
-    def _crop(self, mel: np.ndarray, codes: np.ndarray, start: Optional[int] = None):
+    def _crop(self, mel: np.ndarray, codes: np.ndarray, start: Optional[int] = None,
+              max_len: Optional[int] = None):
+        max_len = self.max_len if max_len is None else max_len
         n = min(len(codes), mel.shape[1])
         mel, codes = mel[:, :n], codes[:n]
-        if n > self.max_len:
+        if n > max_len:
             if start is None:
-                start = self.rng.randint(0, n - self.max_len) if self.shuffle_spec else (n - self.max_len) // 2
-            mel = mel[:, start : start + self.max_len]
-            codes = codes[start : start + self.max_len]
+                start = self.rng.randint(0, n - max_len) if self.shuffle_spec else (n - max_len) // 2
+            mel = mel[:, start : start + max_len]
+            codes = codes[start : start + max_len]
         return mel, codes, start or 0
 
     def _mask(self, n: int, lo=0.5, hi=1.0):
@@ -117,9 +136,8 @@ class CoVoMixDataset:
         if self.format == "default":
             mel = np.load(f)
             codes = np.load(f.replace(".mel.npy", ".phone_by_frame.npy")).astype(int)
-            old_max, self.max_len = self.max_len, 1600
-            mel, codes, _ = self._crop(mel, codes)
-            self.max_len = old_max
+            # 'default' crops at 1600 frames (data_module.py:364-371)
+            mel, codes, _ = self._crop(mel, codes, max_len=1600)
             mask = self._mask(len(codes))
             return {"x": mel.T.astype(np.float32), "phonemes": codes.astype(np.int32), "mask": mask}
 

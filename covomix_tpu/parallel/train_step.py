@@ -13,7 +13,7 @@ import jax
 
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from covomix_tpu.parallel.mesh import batch_shardings, make_mesh, param_shardings, replicated, shard_tree
+from covomix_tpu.parallel.mesh import batch_shardings, param_shardings, shard_tree
 from covomix_tpu.train.loop import (TrainConfig, TrainState, accumulated_value_and_grad,
                                     init_train_state, make_optimizer, ema_update)
 

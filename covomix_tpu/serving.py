@@ -26,6 +26,17 @@ from covomix_tpu.models import text2semantic as T
 from covomix_tpu.models import vocoder as V
 
 
+def _slice_generated(mel, starts, length: int):
+    """[B, pmax+L, D] -> [B, length, D]: row i's generated region begins at
+    its own prompt length (batched dynamic_slice, not a 2D gather — big-index
+    gathers stall on this stack, CLAUDE.md)."""
+
+    def one(m, s):
+        return jax.lax.dynamic_slice(m, (s, 0), (length, m.shape[1]))
+
+    return jax.vmap(one)(mel, starts)
+
+
 @dataclasses.dataclass
 class BatchedPipeline:
     """Fixed-shape batched synthesis: [B] text id rows -> [B] waveforms.
@@ -64,15 +75,8 @@ class BatchedPipeline:
             A.sample, cfg=self.acoustic_cfg, cond_scale=self.cond_scale, dtype=self.dtype))
         self._voc = jax.jit(functools.partial(V.generator, cfg=self.vocoder_cfg, dtype=self.dtype))
 
-        def slice_gen(mel, starts):
-            # [B, pmax+L, D] -> [B, L, D]: row i's generated region begins at
-            # its own prompt length (batched dynamic_slice, not a 2D gather —
-            # big-index gathers stall on this stack, CLAUDE.md)
-            def one(m, s):
-                return jax.lax.dynamic_slice(m, (s, 0), (self.decode_len, m.shape[1]))
-            return jax.vmap(one)(mel, starts)
-
-        self._slice_gen = jax.jit(slice_gen)
+        self._slice_gen = jax.jit(
+            functools.partial(_slice_generated, length=self.decode_len))
         self._fused = jax.jit(self._fused_impl) if self.fused else None
 
     def _shard(self, x):
@@ -106,12 +110,17 @@ class BatchedPipeline:
         def pack_row(tok1, tok2, g, pt_row, pmel_row, p):
             # [prompt_row[:p] ‖ tokens[:g] ‖ 157-filler], built positionally:
             # tokens are shifted to start at p via a dynamic_slice of a
-            # statically left-padded buffer (index pmax-p+j == tok[j-p])
+            # statically padded buffer (index pmax-p+j == tok[j-p]). The
+            # buffer carries pmax EXTRA trailing filler so its length exceeds
+            # the slice size — lax.dynamic_slice CLAMPS out-of-bounds starts,
+            # and with size == length every nonzero start would clamp to 0,
+            # silently un-shifting short-prompt rows.
             j = jnp.arange(total)
             if two:
                 tok = jnp.stack([jnp.clip(tok1, 0, 501), jnp.clip(tok2, 0, 501)], axis=-1)
                 tok_pad = jnp.concatenate(
-                    [jnp.full((pmax, 2), 157, jnp.int32), tok.astype(jnp.int32)], axis=0)
+                    [jnp.full((pmax, 2), 157, jnp.int32), tok.astype(jnp.int32),
+                     jnp.full((pmax, 2), 157, jnp.int32)], axis=0)
                 shifted = jax.lax.dynamic_slice(tok_pad, (pmax - p, 0), (total, 2))
                 pt_full = jnp.concatenate(
                     [pt_row.astype(jnp.int32), jnp.full((L, 2), 157, jnp.int32)], axis=0)
@@ -119,7 +128,8 @@ class BatchedPipeline:
                                 jnp.where((j < p + g)[:, None], shifted, 157))
             else:
                 tok_pad = jnp.concatenate(
-                    [jnp.full((pmax,), 157, jnp.int32), jnp.clip(tok1, 0, 501).astype(jnp.int32)])
+                    [jnp.full((pmax,), 157, jnp.int32), jnp.clip(tok1, 0, 501).astype(jnp.int32),
+                     jnp.full((pmax,), 157, jnp.int32)])
                 shifted = jax.lax.dynamic_slice(tok_pad, (pmax - p,), (total,))
                 pt_full = jnp.concatenate(
                     [pt_row.astype(jnp.int32), jnp.full((L,), 157, jnp.int32)])
@@ -134,11 +144,7 @@ class BatchedPipeline:
         valid = prompt_lens.astype(jnp.int32) + gen_lens
         mel = A.sample(ac_params, self.acoustic_cfg, k2, phoneme_ids=phonemes, cond=cond,
                        cond_scale=self.cond_scale, valid_len=valid, dtype=self.dtype)
-
-        def one(m, s):
-            return jax.lax.dynamic_slice(m, (s, 0), (L, m.shape[1]))
-
-        mel_gen = jax.vmap(one)(mel, prompt_lens)
+        mel_gen = _slice_generated(mel, prompt_lens, L)
         wav = V.generator(voc_params, self.vocoder_cfg, mel=mel_gen, dtype=self.dtype,
                           valid_len=gen_lens)
         return wav, gen

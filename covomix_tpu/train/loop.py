@@ -81,9 +81,13 @@ def init_train_state(params, cfg: TrainConfig) -> TrainState:
 
 
 def ema_update(ema_params, params, num_updates, decay: float):
-    """torch_ema ExponentialMovingAverage.update: effective decay
-    min(decay, (1+n)/(10+n)); shadow -= (1-d)*(shadow - param)."""
-    n = num_updates.astype(jnp.float32)
+    """torch_ema ExponentialMovingAverage.update: the update INCREMENTS
+    num_updates first, then uses effective decay min(decay, (1+n)/(10+n))
+    with the post-increment n; shadow -= (1-d)*(shadow - param). Callers
+    pass the PRE-increment count (TrainState.ema_num_updates, incremented
+    after the step), so n+1 here reproduces torch_ema's ramp exactly —
+    first update d = 2/11, not 1/10."""
+    n = num_updates.astype(jnp.float32) + 1.0
     d = jnp.minimum(decay, (1.0 + n) / (10.0 + n))
     return jax.tree_util.tree_map(lambda e, p: e - (1.0 - d) * (e - p), ema_params, params)
 

@@ -166,3 +166,67 @@ def test_collate_t2s_duration(fisher_dir, vocab_file):
     # durations of non-pad rows reconstruct the original lengths
     for i, it in enumerate([ds[0], ds[1]]):
         assert int(batch["durations"][i].sum()) == len(it["semantic"])
+
+
+@pytest.fixture(scope="module")
+def overlap_dir(tmp_path_factory):
+    """Dialogue corpus with per-channel -A/-B mels; the parent directory name
+    deliberately contains '-B' (regression: the file filter must check
+    basenames, not path substrings). Mixed base mels exist for dialogues 0-1
+    only — two_input_two_output must not require them."""
+    root = tmp_path_factory.mktemp("fisher-B-corpus")
+    rs = np.random.RandomState(1)
+    for i in range(3):
+        T = 100 + 20 * i
+        for ch in ("A", "B"):
+            np.save(root / f"dlg{i}-{ch}.mel.npy", rs.randn(80, T).astype(np.float32))
+            np.save(root / f"dlg{i}-{ch}-16k.hubert_code.npy", rs.randint(0, 500, T).astype(str))
+        if i < 2:
+            np.save(root / f"dlg{i}.mel.npy", rs.randn(80, T).astype(np.float32))
+    return str(root)
+
+
+def test_two_input_two_output_dataset(overlap_dir):
+    """File list = channel-stripped base names derived from -A mels (the
+    mixed mel need not exist); items stack both channels."""
+    ds = CoVoMixDataset(overlap_dir, format="hubert_overlap_two_input_two_output", max_len=80)
+    assert len(ds) == 3
+    for i in range(3):
+        item = ds[i]
+        assert item["x"].shape[1] == 160            # [mel_A | mel_B]
+        assert item["phonemes"].shape[1] == 2
+        assert len(item["mask"]) == item["x"].shape[0]
+
+
+def test_two_input_one_output_dataset(overlap_dir):
+    """one_output items additionally carry the mixed mel (the training
+    target), so the list keeps only dialogues whose mixed base mel exists;
+    the '-B' directory name must not filter the list to empty."""
+    ds = CoVoMixDataset(overlap_dir, format="hubert_overlap_two_input_one_output", max_len=80)
+    assert len(ds) == 2   # dlg2 lacks the mixed mel on disk
+    for i in range(2):
+        item = ds[i]
+        assert item["x"].shape[1] == 240           # [A | B | mixed]
+        assert item["phonemes"].shape[1] == 2
+
+
+def test_t2s_2output_short_pool_excludes_pair_files(fisher_dir, tmp_path):
+    """The 20% synthetic 2-speaker branch must never draw a _1/_2 pair file
+    (read_txt would open a nonexistent 'xxx_1.txt')."""
+    import shutil
+
+    root = tmp_path / "mix"
+    shutil.copytree(fisher_dir, root)
+    rs = np.random.RandomState(2)
+    codes = rs.randint(0, 500, 50).astype(str)
+    np.save(root / "pair_1.hubert_code.npy", codes)
+    np.save(root / "pair_2.hubert_code.npy", codes)
+    (root / "pair.txt").write_text("a pair dialogue")
+    ds = CoVoMixDataset(str(root), format="text2semantic_2output", seed=0)
+    assert any(f.endswith("pair_1.hubert_code.npy") for f in ds.files)
+    assert not any(os.path.basename(f).endswith("_1.hubert_code.npy") for f in ds.short_files)
+    # every item constructible regardless of the augmentation draw
+    for i in range(len(ds)):
+        for _ in range(6):   # multiple draws hit all three branches
+            item = ds[i]
+            assert item["semantic"].shape[1] == 2

@@ -13,12 +13,13 @@ CFG = A.AcousticConfig(dim_in=80, dim=32, depth=2, heads=2, dim_head=16, dim_pho
 
 
 def test_ema_matches_torch_ema_ramp():
-    """torch_ema: decay_t = min(d, (1+n)/(10+n)); shadow -= (1-d)(shadow-p)."""
+    """torch_ema increments num_updates BEFORE computing the ramp:
+    decay_t = min(d, (1+n)/(10+n)) with post-increment n; shadow -=
+    (1-d)(shadow-p). First update (stored count 0 -> n=1) uses d = 2/11."""
     ema = {"w": jnp.ones((3,))}
     params = {"w": jnp.zeros((3,))}
     out = ema_update(ema, params, jnp.int32(0), 0.999)
-    # n=0 -> d = 1/10
-    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["w"]), 2.0 / 11.0, atol=1e-6)
     out2 = ema_update(ema, params, jnp.int32(100000), 0.999)
     np.testing.assert_allclose(np.asarray(out2["w"]), 0.999, atol=1e-6)
 
