@@ -28,13 +28,12 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from covomix_tpu.util.misc import round_up
+
 MEL_PAD = -15.0
 CODE_PAD = 501
 SILENCE_TOKEN = 157
 
-
-def _round_up(n, m):
-    return ((n + m - 1) // m) * m
 
 
 def load_codes(path: str) -> np.ndarray:
@@ -219,7 +218,7 @@ class CoVoMixDataset:
 def collate_acoustic(items: List[Dict], bucket: int = 64) -> Dict[str, np.ndarray]:
     """Pad to a bucketed max length: mel -15, codes 501, mask False
     (collate_fn, data_module.py:834-951)."""
-    n = _round_up(max(len(it["mask"]) for it in items), bucket)
+    n = round_up(max(len(it["mask"]) for it in items), bucket)
     b = len(items)
     d = items[0]["x"].shape[-1]
     ph_shape = (b, n) if items[0]["phonemes"].ndim == 1 else (b, n, items[0]["phonemes"].shape[-1])
@@ -238,13 +237,13 @@ def collate_acoustic(items: List[Dict], bucket: int = 64) -> Dict[str, np.ndarra
 
 def _collate_text_ids(items: List[Dict], tokenizer, max_text_len: int) -> np.ndarray:
     text_ids, _ = tokenizer.batch_encode([it["text"] for it in items], max_length=max_text_len)
-    ts = _round_up(text_ids.shape[1], 16)
+    ts = round_up(text_ids.shape[1], 16)
     return np.pad(text_ids, ((0, 0), (0, ts - text_ids.shape[1]))).astype(np.int32)
 
 
 def collate_t2s(items: List[Dict], tokenizer, bucket: int = 64, max_text_len: int = 512) -> Dict[str, np.ndarray]:
     text_ids = _collate_text_ids(items, tokenizer, max_text_len)
-    n = _round_up(max(len(it["semantic"]) for it in items), bucket)
+    n = round_up(max(len(it["semantic"]) for it in items), bucket)
     b = len(items)
     sem_shape = (b, n) if items[0]["semantic"].ndim == 1 else (b, n, 2)
     sem = np.full(sem_shape, CODE_PAD, np.int32)
@@ -290,7 +289,7 @@ def collate_t2s_duration(items: List[Dict], tokenizer, bucket: int = 64,
     CODE_PAD / 0 (data_module.py:855-863)."""
     text_ids = _collate_text_ids(items, tokenizer, max_text_len)
     comp = [compress_token_runs(it["semantic"]) for it in items]
-    n = _round_up(max((u.shape[0] for u, _ in comp), default=1), bucket)
+    n = round_up(max((u.shape[0] for u, _ in comp), default=1), bucket)
     streams = comp[0][0].shape[1] if comp else 1
     uniq = np.full((len(items), n, streams), CODE_PAD, np.int64)
     dur = np.zeros((len(items), n, streams), np.int64)

@@ -299,7 +299,9 @@ def forward_loss(
     x = L.rmsnorm(params["target_final_norm"], x)
 
     def ce(logits, tgt):
-        # logits [B, T+1, V] -> drop last position; CE vs tgt [B, T+1... wait T]
+        # decoder input is [BOS ‖ targets-with-EOS], so logits cover one
+        # position past the last target; drop it, leaving logits[:, i]
+        # predicting tgt[:, i] (the standard one-step shift)
         logits = logits[:, :-1]
         valid = tgt != cfg.semantic_pad_id
         tgt_c = jnp.clip(tgt, 0, cfg.num_semantic_tokens)

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from covomix_tpu.util.misc import round_up
+
 # Measured on v5e at the VoMix serving shape (B=8 CFG-doubled, H=16, T=912,
 # dh=64, bf16): 21.1 TFLOP/s at 1024/512/hb=2 with the dynamic valid_len
 # mask (within noise of 1024/1024 and of the fully-static kernel's 20.8 on
@@ -157,6 +159,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _resolve_blocks(cfg, t, h, dtype):
+    """Returns (block_q, block_k, head_block, interpret, tp) with the padded
+    length tp a multiple of BOTH block sizes. The divisibility is load-bearing:
+    the kernels' block loops compute num_blocks = tp // block, which FLOORS —
+    if the smaller block did not divide tp (e.g. t=600 -> block_q=640,
+    block_k=512, tp=640), the tail key columns would silently never be
+    attended (0.28 max-abs error vs einsum, found by review r3)."""
     block_q, block_k, head_block, interpret = cfg
     if dtype.itemsize >= 4:
         # f32 q/k/v doubles the VMEM footprint of the in-kernel blocks; the
@@ -168,17 +176,23 @@ def _resolve_blocks(cfg, t, h, dtype):
         # [hb, bq, bk] f32 softmax temporaries; 1024-wide q blocks then
         # overflow the 16 MB scoped-VMEM stack (20.1 MB at tp=2048)
         block_q = min(block_q, 512)
-    block_q = min(block_q, _round_up(t, 128))
-    block_k = min(block_k, _round_up(t, 128))
+    block_q = min(block_q, round_up(t, 128))
+    block_k = min(block_k, round_up(t, 128))
+    tp = round_up(t, max(block_q, block_k))
+    # shrink each block (in 128 steps; tp is a multiple of 128) until it
+    # divides tp — max(block_q, block_k) already does by construction
+    while tp % block_q:
+        block_q -= 128
+    while tp % block_k:
+        block_k -= 128
     while h % head_block:
         head_block -= 1
-    return block_q, block_k, head_block, interpret
+    return block_q, block_k, head_block, interpret, tp
 
 
 def _flash_forward(cfg, valid_arr, q, k, v, with_lse: bool = False):
     b, h, t, dh = q.shape
-    block_q, block_k, head_block, interpret = _resolve_blocks(cfg, t, h, q.dtype)
-    tp = _round_up(t, max(block_q, block_k))
+    block_q, block_k, head_block, interpret, tp = _resolve_blocks(cfg, t, h, q.dtype)
     if tp != t:
         pad = [(0, 0), (0, 0), (0, tp - t), (0, 0)]
         q = jnp.pad(q, pad)
@@ -310,9 +324,8 @@ def _flash_backward(cfg, valid_arr, q, k, v, out, lse, g):
     # up to 2 K-blocks; past that (chunked loop + full-length q/do resident
     # in the dkv kernel) drop to 256
     cap = 512 if t <= 1024 else 256
-    block_q, block_k, head_block, interpret = _resolve_blocks(
+    block_q, block_k, head_block, interpret, tp = _resolve_blocks(
         (min(cfg[0], cap), min(cfg[1], cap), cfg[2], cfg[3]), t, h, q.dtype)
-    tp = _round_up(t, max(block_q, block_k))
     if tp != t:
         pad = [(0, 0), (0, 0), (0, tp - t), (0, 0)]
         q, k, v, g = (jnp.pad(x, pad) for x in (q, k, v, g))
@@ -407,9 +420,6 @@ def _flash_core_bwd(cfg, res, g):
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 def attend_flash_or_xla(q, k, v, *, key_mask=None, valid_len=None, causal=False,

@@ -37,15 +37,13 @@ from covomix_tpu.audio import MelConfig, load_wav, mel_spectrogram
 from covomix_tpu.models import acoustic as A
 from covomix_tpu.models import text2semantic as T
 from covomix_tpu.models import vocoder as V
+from covomix_tpu.util.misc import round_up
 
 SILENCE_TOKEN = 157          # silence unit id convention (monologue_generation.py:222)
 TOKEN_CLAMP = 501            # clamp ceiling incl. EOS (monologue_generation.py:162)
 PROMPT_MAX_FRAMES = 400      # 8 s at 20 ms hop (monologue_generation.py:87)
 MEL_PAD = -15.0              # collate pad value (data_module.py:846)
 
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 @dataclasses.dataclass
@@ -126,10 +124,20 @@ class Synthesizer:
 
     # ---- stages ------------------------------------------------------------
 
+    def _encode_bucketed(self, text: str) -> np.ndarray:
+        """Tokenize and pad the id row to a 16-multiple (pad 0 = BERT [PAD]):
+        one compiled decode executable serves every text length within a
+        bucket instead of retracing the whole while_loop decode per length
+        (set_eos_id writes EOS at the first pad; the source mask drops the
+        rest, so padding is semantically free)."""
+        ids, _ = self.tokenizer.batch_encode([text])
+        s = round_up(max(ids.shape[1], 1), 16)
+        return np.pad(np.asarray(ids), ((0, 0), (0, s - ids.shape[1])))
+
     def text_to_tokens(self, text: str, key) -> np.ndarray:
         """T2S decode; returns the non-pad token ids (wrapper.sample contract,
         text2semantic.py:1237-1251)."""
-        ids, _ = self.tokenizer.batch_encode([text])
+        ids = self._encode_bucketed(text)
         gen = self._gen_fn(self.t2s_params, key=key, source_ids=jnp.asarray(ids))
         toks = np.asarray(gen.tokens[0])
         return toks[toks != self.t2s_cfg.semantic_pad_id]
@@ -138,7 +146,7 @@ class Synthesizer:
         """CoMix decode. The reference flattens both streams then splits at half
         (monologue_generation.py:307-319); we return the streams directly with
         the same lengths."""
-        ids, _ = self.tokenizer.batch_encode([text])
+        ids = self._encode_bucketed(text)
         gen = self._gen_fn(self.t2s_params, key=key, source_ids=jnp.asarray(ids))
         pad = self.t2s_cfg.semantic_pad_id
         t1 = np.asarray(gen.tokens[0]); t1 = t1[t1 != pad]
@@ -156,7 +164,7 @@ class Synthesizer:
         scalar mask keeps attention on the Pallas flash kernel and compiles
         ONCE per bucket shape (a traced scalar, not a python int)."""
         t = len(phoneme_ids)
-        tb = max(self.bucket, _round_up(t, self.bucket))
+        tb = max(self.bucket, round_up(t, self.bucket))
         if phoneme_ids.ndim == 1:
             ph = np.full((tb,), TOKEN_CLAMP, np.int32)
         else:
@@ -177,7 +185,7 @@ class Synthesizer:
         fill inside the generator's ~16-frame receptive field perturbs the
         tail (tests/test_vocoder.py)."""
         t = len(mel)
-        tb = max(self.bucket, _round_up(t, self.bucket))
+        tb = max(self.bucket, round_up(t, self.bucket))
         m = np.full((tb, mel.shape[1]), MEL_PAD, np.float32)
         m[:t] = mel
         if self.fuse_tail:
@@ -205,6 +213,15 @@ class Synthesizer:
                 f"got mode={self.acoustic_cfg.mode!r}")
         if mode == "covomix" and not getattr(self.t2s_cfg, "two_output", False):
             raise ValueError("mode covomix needs a CoMix T2S model (two_output=True)")
+        # the synthesis paths vocode ONE mel stream: the acoustic output width
+        # must match the vocoder input (a two_two 160-d output would otherwise
+        # die with an opaque conv shape error inside the vocoder stage)
+        if self.acoustic_cfg.mel_dim != self.vocoder_cfg.num_mels:
+            raise ValueError(
+                f"acoustic model outputs {self.acoustic_cfg.mel_dim}-d mel but the "
+                f"vocoder expects {self.vocoder_cfg.num_mels}-d "
+                f"(acoustic mode={self.acoustic_cfg.mode!r}: covosinx/covomix "
+                f"synthesis needs the two_one mixed-output variant)")
 
     # ---- modes (monologue) -------------------------------------------------
 

@@ -57,3 +57,8 @@ def batch_broadcast(x, array):
         return x
     assert x.ndim == 1 and len(x) == array.shape[0]
     return x.reshape(-1, *([1] * (array.ndim - 1)))
+
+
+def round_up(n: int, m: int) -> int:
+    """Smallest multiple of m >= n (shared bucketing helper)."""
+    return ((n + m - 1) // m) * m

@@ -211,3 +211,43 @@ def test_flash_per_row_valid_len_grad():
         gf = jax.grad(loss_flash)(q)
         gr = jax.grad(loss_ref)(q)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-3, rtol=1e-3)
+
+
+def test_flash_bf16_default_blocks_unequal_pad_regression():
+    """Regression (review r3): with bf16 defaults, 512 < t <= 896 resolved to
+    block_q in {640,768,896} > block_k=512 and tp = round_up(t, block_q) was
+    NOT a multiple of block_k — the kernel's floored num_kb dropped the tail
+    key columns entirely (0.28 max-abs error at t=600). Blocks must shrink to
+    divisors of tp."""
+    key = jax.random.PRNGKey(9)
+    b, h, dh = 1, 2, 32
+    with jax.default_matmul_precision("highest"):
+        for t in (600, 640, 700, 896):
+            q = jax.random.normal(key, (b, h, t, dh), jnp.bfloat16)
+            k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.bfloat16)
+            v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.bfloat16)
+            ref = attend(q, k, v)
+            out = flash_attention(q, k, v, interpret=True)  # DEFAULT blocks
+            err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
+            assert err < 0.02, f"t={t}: {err}"
+
+
+def test_flash_bf16_default_blocks_grad_regression():
+    """The custom_vjp backward re-materializes from the forward's lse — the
+    same divisibility bug corrupted gradients for 512 < t <= 896 at bf16."""
+    key = jax.random.PRNGKey(10)
+    b, h, t, dh = 1, 2, 600, 32
+    q = jax.random.normal(key, (b, h, t, dh), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.bfloat16)
+    with jax.default_matmul_precision("highest"):
+        def loss_flash(q):
+            return jnp.sum(jnp.square(flash_attention(q, k, v, interpret=True).astype(jnp.float32)))
+
+        def loss_ref(q):
+            return jnp.sum(jnp.square(attend(q, k, v).astype(jnp.float32)))
+
+        gf = jax.grad(loss_flash)(q).astype(jnp.float32)
+        gr = jax.grad(loss_ref)(q).astype(jnp.float32)
+    scale = np.abs(np.asarray(gr)).max()
+    assert np.abs(np.asarray(gf) - np.asarray(gr)).max() < 0.05 * max(scale, 1.0)
