@@ -146,7 +146,11 @@ def mel_spectrogram(y: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarray
     golden fixtures in hifi-gan/hifigan_test/input_mel)."""
     basis, _ = _mel_basis_and_window(cfg)
     mag = stft_magnitude(y.astype(jnp.float32), cfg)
-    mel = jnp.einsum("mf,bft->bmt", basis, mag)
+    # HIGHEST like the STFT convs above: the default bf16-class matmul would
+    # round this [80, F] x [F, T] projection (~0.4% rel) and blow the ~1e-4
+    # golden-parity budget on real TPU (CPU tests mask it — they run wrapped
+    # in default_matmul_precision('highest'))
+    mel = jnp.einsum("mf,bft->bmt", basis, mag, precision=jax.lax.Precision.HIGHEST)
     return jnp.log(jnp.clip(mel, min=1e-5))
 
 

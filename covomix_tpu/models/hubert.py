@@ -24,6 +24,7 @@ wants. The k-means quantizer is a single [T,768]x[768,500] matmul + argmin.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -90,14 +91,27 @@ def init(key, cfg: HubertConfig):
     return p
 
 
-def conv_frontend(params, cfg: HubertConfig, wav: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """[B, T] waveform -> [B, T/320, 512] features (wav2vec2.py:915-922)."""
+def conv_frontend(params, cfg: HubertConfig, wav: jnp.ndarray, dtype=jnp.float32,
+                  valid_samples=None) -> jnp.ndarray:
+    """[B, T] waveform -> [B, T/320, 512] features (wav2vec2.py:915-922).
+
+    `valid_samples` [B] int: true sample count per row for padded batches.
+    The first layer's group norm is per-channel instance norm over TIME, so
+    without it the padded zeros shift every valid frame's statistics away
+    from exact-length (reference per-file) extraction. Later conv layers are
+    strictly local/causal-in-range: valid output frames depend only on valid
+    earlier frames, so only the norm needs the mask."""
     x = wav.astype(dtype)[..., None]  # [B, T, 1]
+    t_valid = None if valid_samples is None else jnp.asarray(valid_samples, jnp.int32)
     for i, ((dim, k, s), lp) in enumerate(zip(cfg.conv_layers, params["conv_layers"])):
         x = L.conv1d(lp, x, stride=s, padding="VALID")
+        if t_valid is not None:
+            t_valid = jnp.maximum((t_valid - k) // s + 1, 0)
         if i == 0:
             # Fp32GroupNorm(num_groups=dim, channels=dim) == per-channel instance norm
-            x = L.groupnorm(params["fe_group_norm"], x, num_groups=dim)
+            lm = None if t_valid is None else (
+                jnp.arange(x.shape[1])[None, :] < t_valid[:, None])
+            x = L.groupnorm(params["fe_group_norm"], x, num_groups=dim, length_mask=lm)
         x = jax.nn.gelu(x, approximate=False)
     return x
 
@@ -133,6 +147,7 @@ def extract_features(
     *,
     output_layer: Optional[int] = None,
     padding_mask: Optional[jnp.ndarray] = None,   # [B, frames] True = valid
+    valid_samples=None,                           # [B] true sample counts (padded batches)
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """[B, T] 16 kHz waveform -> [B, frames, 768] layer-`output_layer` hiddens
@@ -143,7 +158,7 @@ def extract_features(
     mirroring forward_padding_mask + index_put (hubert.py:427-431, wav2vec2.py
     extract_features)."""
     output_layer = output_layer or cfg.output_layer
-    feats = conv_frontend(params, cfg, wav, dtype)
+    feats = conv_frontend(params, cfg, wav, dtype, valid_samples=valid_samples)
     feats = L.layernorm(params["layer_norm"], feats)
     x = L.linear(params["post_extract_proj"], feats)
     if padding_mask is not None:
@@ -172,33 +187,63 @@ def kmeans_assign(params, feats: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(dist, axis=-1)
 
 
-def wav2units_jit(params, cfg: HubertConfig, wav: jnp.ndarray, padding_mask=None, dtype=jnp.float32) -> jnp.ndarray:
+def wav2units_jit(params, cfg: HubertConfig, wav: jnp.ndarray, padding_mask=None,
+                  valid_samples=None, dtype=jnp.float32) -> jnp.ndarray:
     """Single-chunk [B, T] wav -> [B, frames] unit ids (jit-friendly).
+
+    For padded rows pass BOTH padding_mask (frame-level, attention + feature
+    zeroing) and valid_samples (sample-level, group-norm statistics) — then
+    ids over the valid frames equal exact-length extraction bit-for-bit.
 
     Note: when cfg.normalize, the caller must layer-norm the *whole* utterance
     before chunking (hubert_feature_reader.py:46-55 normalizes per file)."""
-    feats = extract_features(params, cfg, wav, padding_mask=padding_mask, dtype=dtype)
+    feats = extract_features(params, cfg, wav, padding_mask=padding_mask,
+                             valid_samples=valid_samples, dtype=dtype)
     return kmeans_assign(params, feats)
+
+
+@functools.lru_cache(maxsize=8)
+def _wav2units_compiled(cfg: HubertConfig, dtype):
+    """Module-level jit cache: one executable per (cfg, dtype), shared across
+    wav2units calls (a per-call jax.jit wrapper would recompile every file)."""
+    return jax.jit(functools.partial(wav2units_jit, cfg=cfg, dtype=dtype))
 
 
 def wav2units(params, cfg: HubertConfig, wav: np.ndarray, dtype=jnp.float32) -> np.ndarray:
     """Host-side entry: arbitrary-length mono 16 kHz wav -> unit id array.
 
     Chunks at cfg.max_chunk samples like HubertFeatureReader.get_feats
-    (hubert_feature_reader.py:57-77). Returns int64 numpy ids."""
-    import functools
-
+    (hubert_feature_reader.py:57-77): any tail covering the conv stack's
+    receptive field yields its frames (the reference emits frames for every
+    chunk the convs can consume — skipping only num_output_frames < 1 keeps
+    token-count parity). Tail chunks are padded to a 1 s bucket with a frame
+    padding_mask (same masking as the parity-tested batched extraction CLI),
+    so the jit executable is reused across wav lengths instead of recompiling
+    per file. Returns int64 numpy ids."""
     wav = np.asarray(wav, np.float32)
     if cfg.normalize:
         wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-5)
-    fn = jax.jit(functools.partial(wav2units_jit, cfg=cfg, dtype=dtype))
+    fn = _wav2units_compiled(cfg, dtype)
+    bucket = cfg.sample_rate  # 1 s
     out = []
     for start in range(0, len(wav), cfg.max_chunk):
         chunk = wav[start : start + cfg.max_chunk]
-        if len(chunk) < cfg.downsample * 2:
-            continue
-        ids = fn(params, wav=jnp.asarray(chunk[None]))
-        out.append(np.asarray(ids[0]))
+        frames = num_output_frames(cfg, len(chunk))
+        if frames < 1:
+            continue   # shorter than the conv receptive field (~400 samples)
+        if len(chunk) % bucket:
+            padded = ((len(chunk) + bucket - 1) // bucket) * bucket
+            mask = np.zeros((num_output_frames(cfg, padded),), bool)
+            mask[:frames] = True
+            true_len = len(chunk)
+            chunk = np.pad(chunk, (0, padded - len(chunk)))
+            ids = fn(params, wav=jnp.asarray(chunk[None]),
+                     padding_mask=jnp.asarray(mask[None]),
+                     valid_samples=jnp.asarray([true_len], jnp.int32))
+            out.append(np.asarray(ids[0])[:frames])
+        else:
+            ids = fn(params, wav=jnp.asarray(chunk[None]))
+            out.append(np.asarray(ids[0]))
     if not out:
         return np.zeros((0,), np.int64)
     return np.concatenate(out).astype(np.int64)

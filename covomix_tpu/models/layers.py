@@ -149,12 +149,25 @@ def layernorm(p, x, eps: float = 1e-5):
     return (y * p["gamma"] + p["beta"]).astype(x.dtype)
 
 
-def groupnorm(p, x, num_groups: int, eps: float = 1e-5):
-    """x: [B, T, C]; affine per channel (fairseq Fp32GroupNorm)."""
+def groupnorm(p, x, num_groups: int, eps: float = 1e-5, length_mask=None):
+    """x: [B, T, C]; affine per channel (fairseq Fp32GroupNorm).
+
+    The stats reduce over TIME (num_groups == C is per-channel instance
+    norm), so padded timesteps would shift every valid frame's statistics.
+    `length_mask` [B, T] bool restricts the stats to valid timesteps, making
+    padded/bucketed extraction exactly equal to exact-length extraction
+    (the reference extracts per file at exact length,
+    get_fisher_semantic_tokens_parallel.py:21-61)."""
     b, t, c = x.shape
     xf = x.astype(jnp.float32).reshape(b, t, num_groups, c // num_groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.var(xf, axis=(1, 3), keepdims=True)
+    if length_mask is None:
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.var(xf, axis=(1, 3), keepdims=True)
+    else:
+        m = length_mask[:, :, None, None].astype(jnp.float32)
+        count = jnp.maximum(jnp.sum(m, axis=(1, 3), keepdims=True), 1.0) * (c // num_groups)
+        mean = jnp.sum(xf * m, axis=(1, 3), keepdims=True) / count
+        var = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 3), keepdims=True) / count
     y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, t, c)
     return (y * p["gamma"] + p["beta"]).astype(x.dtype)
 

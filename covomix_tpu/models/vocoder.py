@@ -275,16 +275,6 @@ def generator(params, cfg: VocoderConfig, mel: jnp.ndarray, dtype=jnp.float32,
 
 
 # ---------------------------------------------------------------------------
-# weight norm (training-time parametrization; hifi-gan applies it to every conv)
-
-
-def fold_weight_norm(v: jnp.ndarray, g: jnp.ndarray, axes) -> jnp.ndarray:
-    """w = g * v / ||v|| with the norm over `axes` (torch _weight_norm)."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
-    return g * v / jnp.maximum(norm, 1e-12)
-
-
-# ---------------------------------------------------------------------------
 # discriminators (hifi-gan/models.py:128-248)
 
 _MPD_PERIODS = (2, 3, 5, 7, 11)
@@ -386,11 +376,15 @@ def _disc_s(p, x):
 
 def _avgpool4_2(x):
     """AvgPool1d(4, 2, padding=2) on [B, T] (hifi-gan/models.py:227-230).
-    torch counts the zero padding in the average (count_include_pad=True)."""
-    xp = jnp.pad(x, ((0, 0), (2, 2)))
-    n = (xp.shape[1] - 4) // 2 + 1
-    idx = jnp.arange(n)[:, None] * 2 + jnp.arange(4)[None, :]
-    return jnp.mean(xp[:, idx], axis=-1)
+    torch counts the zero padding in the average (count_include_pad=True).
+    Computed as a strided ones/4 conv — NOT a [T/2, 4] 2D-index gather, which
+    stalls pathologically on this stack (CLAUDE.md) and sat inside the jitted
+    GAN step (msd runs twice per gan_step on both y and y_hat)."""
+    xp = jnp.pad(x, ((0, 0), (2, 2)))[..., None]          # [B, T+4, 1]
+    w = jnp.full((4, 1, 1), 0.25, xp.dtype)               # [K, I, O] 'WIO'
+    out = jax.lax.conv_general_dilated(
+        xp, w, (2,), [(0, 0)], dimension_numbers=("NWC", "WIO", "NWC"))
+    return out[..., 0]
 
 
 def msd(params, y: jnp.ndarray, y_hat: jnp.ndarray):

@@ -118,6 +118,27 @@ def _halo_units(kernels=(3, 7, 11), dilations=((1, 3, 5),) * 3) -> int:
     return worst + up + post
 
 
+def _halo_from_plan(plan, extra_reach: int = 0) -> int:
+    """Tile halo derived from the ACTUAL tap plan (worst branch's cumulative
+    reach + up/post), so a caller config with larger kernels/dilations can
+    never desync the halo from the packed weights (review r3: the call sites
+    previously used _halo_units() with DEFAULT kernels regardless of cfg).
+    `extra_reach` adds reach handled outside the plan (the stage kernel's
+    upsample matmul)."""
+    up = post = 0
+    branch: dict = {}
+    for name, entry in plan:
+        reach = max(abs(g) for g, _ in entry)
+        if name == "up":
+            up = reach
+        elif name == "post":
+            post = reach
+        else:
+            b = name.split("l")[0]     # 'b{j}l{l}c1'/'...s2' -> branch 'b{j}'
+            branch[b] = branch.get(b, 0) + reach
+    return up + max(branch.values(), default=0) + post + extra_reach
+
+
 # ---------------------------------------------------------------------------
 # packed weight assembly (traced; tiny)
 
@@ -258,7 +279,7 @@ def fused_tail(x2: jnp.ndarray, Wm: jnp.ndarray, Bm: jnp.ndarray, plan,
     total_units = T2 // 2
     # Mosaic requires VMEM slices 8-aligned along the sublane dim: keep the
     # tile extent tbu + 2*halo a multiple of 8.
-    halo = ((_halo_units() + 2 + 3) // 4) * 4
+    halo = ((_halo_from_plan(plan) + 2 + 3) // 4) * 4
     tbu = min(tbu, ((total_units + 7) // 8) * 8)
     n = max(1, -(-total_units // tbu))
     lanes = F * C
@@ -414,7 +435,8 @@ def fused_stage(x1: jnp.ndarray, Wup: jnp.ndarray, Wm: jnp.ndarray, Bm: jnp.ndar
     lanes = F * C
     lp = Wm.shape[1]
     in_lp = Wup.shape[1]
-    halo = ((_halo_units() + 2 + 3) // 4) * 4
+    up_reach = max(abs(g) for g, _ in _stage_up_taps())
+    halo = ((_halo_from_plan(plan, extra_reach=up_reach) + 2 + 3) // 4) * 4
     tbu = min(tbu, ((T1 + 7) // 8) * 8)
     n = max(1, -(-T1 // tbu))
     xp = jnp.pad(x1, ((0, 0), (halo, halo + n * tbu - T1), (0, in_lp - cin)))

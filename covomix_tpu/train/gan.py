@@ -10,7 +10,10 @@ TPU-first: one jitted `gan_step` does D-grad + D-update + G-grad + G-update
 back-to-back on device (the reference's two backward passes + two optimizer
 steps), with weight-norm kept as an explicit (v, g) parametrization exactly
 like torch's weight_norm so converted checkpoints continue training
-identically."""
+identically. The discriminators carry the reference's norm layout too:
+weight_norm on every MPD/MSD conv, spectral_norm (power-iteration buffer u,
+updated each step before use, u/v constant to the gradient) on MSD
+sub-discriminator 0 (models.py:132/:194/:223)."""
 
 from __future__ import annotations
 
@@ -20,6 +23,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from covomix_tpu.audio.mel import MelConfig, mel_spectrogram
@@ -55,6 +59,96 @@ def wn_split(params: Any, transposed_paths=("ups",)) -> Any:
         return node
 
     return walk(params, False)
+
+
+def _l2n(x, eps: float = 1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x), eps)
+
+
+def sn_split(params: Any, seed: int = 0) -> Any:
+    """Add persistent power-iteration vectors u [O], v [I*K] to every conv
+    leaf (torch spectral_norm(dim=0) buffers; MSD's first sub-discriminator,
+    hifi-gan/models.py:223)."""
+    rs = np.random.RandomState(seed)
+
+    def walk(node):
+        if _is_conv_leafdict(node):
+            w = node["w"]
+            u = _l2n(jnp.asarray(rs.randn(w.shape[-1]), jnp.float32))
+            v = _l2n(jnp.asarray(rs.randn(w.size // w.shape[-1]), jnp.float32))
+            return dict(node, u=u, v=v)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
+def sn_power_iter(params: Any) -> Any:
+    """One power-iteration update of every (u, v), torch order (v from the
+    previous u, then u from the new v — torch updates the buffers on each
+    training-mode forward, before the weight is used). No gradients."""
+
+    def walk(node):
+        if isinstance(node, dict) and "u" in node and "w" in node:
+            w = jax.lax.stop_gradient(node["w"])
+            wm = w.reshape(-1, w.shape[-1]).T          # [O, I*K] (dim=0 = out)
+            v = _l2n(wm.T @ node["u"])
+            return dict(node, u=_l2n(wm @ v), v=v)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
+def sn_fold(params: Any) -> Any:
+    """w -> w / sigma with sigma = u^T W v from the STORED buffers (the pair
+    sn_power_iter just updated — torch computes sigma with exactly that u, v).
+    u and v are constants to the gradient, like torch's buffers — the
+    gradient flows through W in both the numerator and sigma."""
+
+    def walk(node):
+        if isinstance(node, dict) and "u" in node and "w" in node:
+            w = node["w"]
+            wm = w.reshape(-1, w.shape[-1]).T
+            u = jax.lax.stop_gradient(node["u"])
+            v = jax.lax.stop_gradient(node["v"])
+            sigma = u @ (wm @ v)
+            out = {k: x for k, x in node.items() if k not in ("u", "v")}
+            out["w"] = w / sigma
+            return out
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
+def split_discriminators(mpd: Any, msd: Any):
+    """Reference norm layout (hifi-gan/models.py:132/:194/:223): weight_norm
+    on every MPD conv and on MSD sub-discriminators 1-2; spectral_norm on MSD
+    sub-discriminator 0."""
+    mpd = wn_split(mpd, transposed_paths=())
+    ds = list(msd["discriminators"])
+    ds[0] = sn_split(ds[0])
+    ds[1] = wn_split(ds[1], transposed_paths=())
+    ds[2] = wn_split(ds[2], transposed_paths=())
+    return mpd, {"discriminators": ds}
+
+
+def fold_discriminators(mpd: Any, msd: Any):
+    ds = list(msd["discriminators"])
+    ds[0] = sn_fold(ds[0])
+    ds[1] = wn_fold(ds[1], transposed_paths=())
+    ds[2] = wn_fold(ds[2], transposed_paths=())
+    return wn_fold(mpd, transposed_paths=()), {"discriminators": ds}
 
 
 def wn_fold(params: Any, transposed_paths=("ups",)) -> Any:
@@ -107,19 +201,48 @@ def _make_opt(cfg: GanConfig):
         epoch = step // cfg.steps_per_epoch
         return cfg.learning_rate * (cfg.lr_decay ** epoch)
 
-    return optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    # torch.optim.AdamW's DEFAULT weight_decay is 0.01 (the reference
+    # constructs AdamW without the arg, hifi-gan/train.py:66-69); optax's
+    # default is 1e-4 — pass it explicitly or training regularizes 100x weaker
+    return optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2, weight_decay=0.01)
+
+
+def _no_u_mask(tree):
+    """Trainable mask: everything except the spectral-norm power-iteration
+    buffers 'u' (updated by sn_power_iter, never by the optimizer)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            # spectral leaves carry BOTH u and v buffers; weight-norm leaves
+            # use 'v' as the TRAINABLE direction (no 'u') — only freeze v
+            # where u is present
+            has_u = "u" in node
+            return {k: (False if (k == "u" or (has_u and k == "v")) else walk(x))
+                    for k, x in node.items()}
+        if isinstance(node, list):
+            return [walk(x) for x in node]
+        return True
+
+    return walk(tree)
+
+
+def _make_opt_d(cfg: GanConfig):
+    return optax.masked(_make_opt(cfg), _no_u_mask)
 
 
 def init_gan_state(key, voc_cfg: V.VocoderConfig, cfg: GanConfig) -> GanState:
     kg, kp, ks = jax.random.split(key, 3)
     gen = V.init_generator(kg, voc_cfg)
-    if cfg.weight_norm:
-        gen = wn_split(gen)
     mpd = V.init_mpd(kp)
     msd = V.init_msd(ks)
+    if cfg.weight_norm:
+        gen = wn_split(gen)
+        # reference norm layout: weight_norm on all discriminator convs,
+        # spectral_norm on MSD sub-discriminator 0 (models.py:132/:194/:223)
+        mpd, msd = split_discriminators(mpd, msd)
     return GanState(gen, mpd, msd,
                     _make_opt(cfg).init(gen),
-                    _make_opt(cfg).init({"mpd": mpd, "msd": msd}),
+                    _make_opt_d(cfg).init({"mpd": mpd, "msd": msd}),
                     jnp.zeros((), jnp.int32))
 
 
@@ -136,7 +259,13 @@ def make_gan_step(voc_cfg: V.VocoderConfig, mel_cfg: MelConfig, mel_loss_cfg: Me
     'dp' and params replicated; XLA emits the grad all-reduces over ICI — the
     TPU-native replacement for hifi-gan/train.py:61-64's DDP wrap."""
     opt_g = _make_opt(cfg)
-    opt_d = _make_opt(cfg)
+    opt_d = _make_opt_d(cfg)
+
+    def d_fold(d_params):
+        if not cfg.weight_norm:
+            return d_params
+        mpd_f, msd_f = fold_discriminators(d_params["mpd"], d_params["msd"])
+        return {"mpd": mpd_f, "msd": msd_f}
 
     def constrain_dp(batch):
         if mesh is None:
@@ -165,9 +294,10 @@ def make_gan_step(voc_cfg: V.VocoderConfig, mel_cfg: MelConfig, mel_loss_cfg: Me
         return y
 
     def d_loss_fn(d_params, y, y_hat):
-        rs, gs, _, _ = V.mpd(d_params["mpd"], y, y_hat)
+        dp = d_fold(d_params)
+        rs, gs, _, _ = V.mpd(dp["mpd"], y, y_hat)
         loss_f = V.discriminator_loss(rs, gs)
-        rs2, gs2, _, _ = V.msd(d_params["msd"], y, y_hat)
+        rs2, gs2, _, _ = V.msd(dp["msd"], y, y_hat)
         loss_s = V.discriminator_loss(rs2, gs2)
         return loss_f + loss_s, (loss_f, loss_s)
 
@@ -175,8 +305,9 @@ def make_gan_step(voc_cfg: V.VocoderConfig, mel_cfg: MelConfig, mel_loss_cfg: Me
         y_hat = gen_fwd(gen_params, mel, y.shape[1])
         mel_hat = mel_spectrogram(y_hat, mel_loss_cfg)
         loss_mel = jnp.mean(jnp.abs(mel_hat - jnp.swapaxes(mel_loss_target, 1, 2))) * cfg.mel_loss_weight
-        _, gs, fr, fg = V.mpd(d_params["mpd"], y, y_hat)
-        _, gs2, fr2, fg2 = V.msd(d_params["msd"], y, y_hat)
+        dp = d_fold(d_params)
+        _, gs, fr, fg = V.mpd(dp["mpd"], y, y_hat)
+        _, gs2, fr2, fg2 = V.msd(dp["msd"], y, y_hat)
         loss_fm = V.feature_loss(fr, fg) + V.feature_loss(fr2, fg2)
         loss_adv = V.generator_adv_loss(gs) + V.generator_adv_loss(gs2)
         return loss_adv + loss_fm + loss_mel, (loss_mel, loss_fm, loss_adv, y_hat)
@@ -192,7 +323,14 @@ def make_gan_step(voc_cfg: V.VocoderConfig, mel_cfg: MelConfig, mel_loss_cfg: Me
             mel_loss_target = jnp.swapaxes(mel_spectrogram(y, mel_loss_cfg), 1, 2)
         # ---- discriminator step on detached y_hat (train.py:137-150)
         y_hat = jax.lax.stop_gradient(gen_fwd(state.gen_params, mel, y.shape[1]))
-        d_params = {"mpd": state.mpd_params, "msd": state.msd_params}
+        msd_p = state.msd_params
+        if cfg.weight_norm:
+            # spectral norm updates its power-iteration buffers on every
+            # training forward, before the weight is used (torch semantics)
+            ds = list(msd_p["discriminators"])
+            ds[0] = sn_power_iter(ds[0])
+            msd_p = {"discriminators": ds}
+        d_params = {"mpd": state.mpd_params, "msd": msd_p}
         (d_loss, (lf, ls)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(d_params, y, y_hat)
         d_updates, opt_d_state = opt_d.update(d_grads, state.opt_d, d_params)
         d_params = optax.apply_updates(d_params, d_updates)

@@ -89,7 +89,10 @@ def main():
             frames_valid.append(H.num_output_frames(cfg, lengths[i]))
         n_frames = H.num_output_frames(cfg, padded)
         mask = np.arange(n_frames)[None, :] < np.asarray(frames_valid)[:, None]
-        ids = np.asarray(fn(params, wav=jnp.asarray(batch), padding_mask=jnp.asarray(mask)))
+        # valid_samples: group-norm statistics over true samples only — padded
+        # batch extraction equals per-file exact-length extraction bit-for-bit
+        ids = np.asarray(fn(params, wav=jnp.asarray(batch), padding_mask=jnp.asarray(mask),
+                            valid_samples=jnp.asarray([lengths[i] for i in batch_idx], jnp.int32)))
         for row, i in enumerate(batch_idx):
             out_dir = args.out_dir or os.path.dirname(files[i])
             os.makedirs(out_dir, exist_ok=True)

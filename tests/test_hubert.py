@@ -224,3 +224,56 @@ def test_groupnorm_matches_fairseq_fp32_group_norm():
     # ours takes [B, T, C]
     mine = np.asarray(L.groupnorm(p, jnp.asarray(x.transpose(0, 2, 1)), num_groups=c)).transpose(0, 2, 1)
     np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_wav2units_tail_chunk_parity(mirror_and_params):
+    """Tail chunks shorter than the bucket are padded + frame-masked; ids
+    must equal exact-length extraction of the same chunk (review r3: the
+    padded frames are zeroed before the positional conv, which sees the same
+    zeros a same-padded exact-length conv would)."""
+    _, params = mirror_and_params
+    rs = np.random.RandomState(5)
+    chunk = rs.randn(473).astype(np.float32) * 0.1
+    ids_exact = np.asarray(H.wav2units_jit(params, CFG, jnp.asarray(chunk[None])))[0]
+    ids_host = H.wav2units(params, CFG, chunk)
+    np.testing.assert_array_equal(ids_host, ids_exact)
+
+
+def test_wav2units_keeps_short_tail(mirror_and_params):
+    """A tail covering the conv receptive field must yield its frames
+    (reference chunk loop emits frames for ANY consumable tail,
+    hubert_feature_reader.py:57-77; the old guard dropped tails shorter than
+    downsample*2)."""
+    _, params = mirror_and_params
+    rs = np.random.RandomState(6)
+    # tiny CFG receptive field = 30 samples; downsample = 20
+    small = H.HubertConfig(**{**CFG.__dict__, "max_chunk": 700})
+    wav = rs.randn(700 + 35).astype(np.float32) * 0.1   # tail 35 in [30, 40)
+    ids = H.wav2units(params, small, wav)
+    n_main = H.num_output_frames(small, 700)
+    n_tail = H.num_output_frames(small, 35)
+    assert n_tail == 1
+    assert len(ids) == n_main + n_tail
+
+
+def test_batched_padded_extraction_equals_per_file(mirror_and_params):
+    """Mixed-length rows in one padded batch (padding_mask + valid_samples)
+    must produce each row's exact-length ids — the batched extraction CLI's
+    contract (review r3: without masked group-norm statistics the padded
+    zeros shifted every valid frame's instance-norm stats)."""
+    _, params = mirror_and_params
+    rs = np.random.RandomState(7)
+    lens = [473, 301, 640]
+    wavs = [rs.randn(n).astype(np.float32) * 0.1 for n in lens]
+    padded = max(lens)
+    batch = np.zeros((len(lens), padded), np.float32)
+    fv = [H.num_output_frames(CFG, n) for n in lens]
+    for i, w in enumerate(wavs):
+        batch[i, : len(w)] = w
+    mask = np.arange(H.num_output_frames(CFG, padded))[None, :] < np.asarray(fv)[:, None]
+    ids = np.asarray(H.wav2units_jit(params, CFG, jnp.asarray(batch),
+                                     padding_mask=jnp.asarray(mask),
+                                     valid_samples=jnp.asarray(lens, jnp.int32)))
+    for i, w in enumerate(wavs):
+        exact = np.asarray(H.wav2units_jit(params, CFG, jnp.asarray(w[None])))[0]
+        np.testing.assert_array_equal(ids[i, : fv[i]], exact, err_msg=f"row {i}")

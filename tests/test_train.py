@@ -218,3 +218,36 @@ def test_stack_microbatches_pads_with_collate_values():
     assert (out["phonemes"][0, :, 8:] == 501).all()
     assert (~out["mask"][0, :, 8:]).all()
     assert out["mask"][1].all()
+
+
+def test_spectral_norm_matches_torch():
+    """sn_split/sn_power_iter/sn_fold vs torch.nn.utils.spectral_norm(dim=0):
+    same buffers after k power iterations, same effective weight (MSD
+    sub-discriminator 0's norm, hifi-gan/models.py:223)."""
+    import torch
+
+    from covomix_tpu.train import gan as G
+
+    torch.manual_seed(0)
+    O, I, K = 8, 6, 5
+    conv = torch.nn.Conv1d(I, O, K, bias=False)
+    sn = torch.nn.utils.spectral_norm(conv)          # dim=0, 1 power iteration
+    w_orig = sn.weight_orig.detach().numpy().copy()  # [O, I, K]
+    u0 = sn.weight_u.detach().numpy().copy()         # [O]
+    v0 = sn.weight_v.detach().numpy().copy()         # [I*K], (i,k) flat order
+    # ours: w [K, I, O]; v flat order is (k,i) -> permute torch's v
+    node = {"w": jnp.asarray(w_orig.transpose(2, 1, 0)),
+            "b": jnp.zeros((O,), jnp.float32),
+            "u": jnp.asarray(u0),
+            "v": jnp.asarray(v0.reshape(I, K).T.ravel())}
+    x = torch.randn(1, I, 32)
+    for _ in range(3):
+        sn(x)                      # train-mode forward: one buffer update
+        node = G.sn_power_iter(node)
+    np.testing.assert_allclose(np.asarray(node["u"]), sn.weight_u.detach().numpy(),
+                               atol=1e-5)
+    sn.eval()
+    sn(x)                          # eval forward: compute weight, no update
+    w_eff = conv.weight.detach().numpy()             # [O, I, K] = w_orig / sigma
+    ours = np.asarray(G.sn_fold(node)["w"]).transpose(2, 1, 0)
+    np.testing.assert_allclose(ours, w_eff, atol=1e-5)
