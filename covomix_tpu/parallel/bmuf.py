@@ -25,11 +25,9 @@ Reference math (bmuf.py:146-201):
 block_momentum == 0 degenerates to plain parameter averaging (bmuf.py:169-173:
 the all-reduce averages `param.data` directly). Warmup (bmuf.py:107-123):
 at step == warmup_steps the local models are replaced by worker 0's (or the
-mean, with average_sync) and the block state resets. The reference also
-resets the inner torch optimizer state at warmup end; this functional API
-owns only the parameter-level protocol — callers that want the optimizer
-reset re-init their optax state at the same step (documented contract,
-asserted nowhere: optax state layouts are caller-owned).
+mean, with average_sync) and the block state resets; make_bmuf_train_step
+also restores the inner optax state to its initial value at that step,
+matching the reference's optimizer reset (bmuf.py:107-123).
 """
 
 from __future__ import annotations
@@ -122,8 +120,6 @@ def make_bmuf_train_step(loss_fn, train_cfg, bmuf_cfg: BMUFConfig, mesh):
     step (the BMUF contract); reconciliation happens inside bmuf_update.
 
     Build the initial stacked state with `stack_for_bmuf`."""
-    from jax.experimental.shard_map import shard_map
-
     from covomix_tpu.train.loop import TrainState, ema_update, make_optimizer
 
     tx = make_optimizer(train_cfg)
@@ -141,6 +137,15 @@ def make_bmuf_train_step(loss_fn, train_cfg, bmuf_cfg: BMUFConfig, mesh):
 
         params = optax.apply_updates(ts.params, updates)
         params, bmuf = bmuf_update(params, bmuf, bmuf_cfg, axis_name="dp")
+        if bmuf_cfg.warmup_steps > 0:
+            # fairseq _warmup_sync also restores the INNER optimizer's initial
+            # state at warmup end (bmuf.py:107-123) — without it each worker
+            # keeps Adam moments from its own divergent warmup trajectory and
+            # the freshly-synchronized models get pulled straight apart again
+            is_warm = bmuf["t"] == bmuf_cfg.warmup_steps
+            fresh = tx.init(params)
+            opt_state = jax.tree_util.tree_map(
+                lambda cur, init: jnp.where(is_warm, init, cur), opt_state, fresh)
         ema = ema_update(ts.ema_params, params, ts.ema_num_updates, train_cfg.ema_decay)
         new_ts = TrainState(params, opt_state, ema, ts.ema_num_updates + 1, ts.step + 1)
         # reporting only (means over workers; grads themselves stay local)
@@ -150,10 +155,10 @@ def make_bmuf_train_step(loss_fn, train_cfg, bmuf_cfg: BMUFConfig, mesh):
                                                                   "grad_norm": gnorm})
 
     dp_spec = P("dp")
-    step = shard_map(per_worker, mesh=mesh,
-                     in_specs=(dp_spec, dp_spec, P()),
-                     out_specs=(dp_spec, dp_spec),
-                     check_rep=False)
+    step = jax.shard_map(per_worker, mesh=mesh,
+                         in_specs=(dp_spec, dp_spec, P()),
+                         out_specs=(dp_spec, dp_spec),
+                         check_vma=False)
     return jax.jit(step, donate_argnums=(0,))
 
 

@@ -99,8 +99,36 @@ def global_batch_from_local(mesh, local_batch: Any, global_batch_size: int) -> A
     Single-process this is exactly `shard_batch` (device_put with a 'dp'
     NamedSharding); multi-host it uses
     jax.make_array_from_process_local_data so no host ever materializes the
-    full global batch."""
+    full global batch.
+
+    Multi-host, the non-batch dims are reconciled first: each collate buckets
+    its OWN max sequence length, so hosts would otherwise disagree on the
+    global shape (different compiled programs -> SPMD mismatch/hang). Every
+    leaf is padded up to the cross-process max of each trailing dim with the
+    training pad value for its key (mask False / mel -15 / codes 501 — the
+    same semantics stack_microbatches uses)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        from covomix_tpu.data.datasets import _STACK_PAD
+
+        leaves, treedef = jax.tree_util.tree_flatten(local_batch)
+        keys = sorted(local_batch.keys()) if isinstance(local_batch, dict) else None  # tree_flatten order
+        shapes = np.array([list(np.shape(l)[1:]) + [0] * (4 - len(np.shape(l)[1:]))
+                           for l in leaves], np.int64)
+        gmax = np.max(np.asarray(multihost_utils.process_allgather(shapes)), axis=0)
+        padded = []
+        for li, leaf in enumerate(leaves):
+            leaf = np.asarray(leaf)
+            tgt = tuple(int(x) for x in gmax[li][: leaf.ndim - 1])
+            if tgt != leaf.shape[1:]:
+                pad_val = _STACK_PAD.get(keys[li], 0) if keys else 0
+                pw = [(0, 0)] + [(0, t - s) for s, t in zip(leaf.shape[1:], tgt)]
+                leaf = np.pad(leaf, pw, constant_values=pad_val)
+            padded.append(leaf)
+        local_batch = jax.tree_util.tree_unflatten(treedef, padded)
 
     def put(leaf):
         leaf = np.asarray(leaf)
@@ -109,7 +137,8 @@ def global_batch_from_local(mesh, local_batch: Any, global_batch_size: int) -> A
         sharding = NamedSharding(mesh, spec)
         if jax.process_count() == 1:
             return jax.device_put(leaf, sharding)
-        global_shape = (global_batch_size,) + leaf.shape[1:]
+        # 0-d leaves are replicated, not batch-sharded
+        global_shape = ((global_batch_size,) + leaf.shape[1:]) if nd else ()
         return jax.make_array_from_process_local_data(sharding, leaf, global_shape)
 
     return jax.tree_util.tree_map(put, local_batch)
@@ -126,8 +155,11 @@ class ProcessShardDataset:
         self.count = jax.process_count() if count is None else count
 
     def __len__(self) -> int:
-        n, r = divmod(len(self.dataset), self.count)
-        return n + (1 if self.index < r else 0)
+        # FLOOR for every rank (drop the remainder like DistributedSampler
+        # drop_last): a rank-dependent length would desync steps_per_epoch /
+        # total_steps / the LR schedule across processes — one process would
+        # exit the loop while the rest block in the next step's collectives
+        return len(self.dataset) // self.count
 
     def __getitem__(self, i: int):
         return self.dataset[i * self.count + self.index]

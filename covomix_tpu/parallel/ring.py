@@ -125,6 +125,9 @@ def sample_sp(
     sp = mesh.shape["sp"]
     b, t = cond.shape[0], cond.shape[1]
     assert t % sp == 0, f"sequence {t} not divisible by sp={sp}"
+    assert t // sp >= cfg.conv_pos_kernel // 2, (
+        f"local frames {t // sp} < conv halo {cfg.conv_pos_kernel // 2} — "
+        f"the one-hop halo exchange cannot cover the positional conv")
     n_steps = int(round(1.0 / step_size))
     h_step = 1.0 / n_steps
     y0 = jax.random.normal(key, (b, t, cfg.mel_dim), jnp.float32)  # same draw as acoustic.sample

@@ -8,7 +8,6 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from covomix_tpu.parallel.bmuf import (
@@ -32,8 +31,8 @@ def _run_tick(params_stk, state_stk, cfg):
         p2, s2 = bmuf_update(sq(p), sq(s), cfg, axis_name="dp")
         return ex(p2), ex(s2)
 
-    fn = shard_map(tick, mesh=mesh, in_specs=(P("dp"), P("dp")),
-                   out_specs=(P("dp"), P("dp")), check_rep=False)
+    fn = jax.shard_map(tick, mesh=mesh, in_specs=(P("dp"), P("dp")),
+                       out_specs=(P("dp"), P("dp")), check_vma=False)
     return jax.jit(fn)(params_stk, state_stk)
 
 
@@ -152,3 +151,36 @@ def test_bmuf_train_step_end_to_end():
         else:
             assert not np.allclose(w, w[0:1]), f"step {i+1}: workers should diverge"
     assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_warmup_resets_inner_optimizer_state():
+    """fairseq _warmup_sync restores the inner optimizer's initial state at
+    warmup end (bmuf.py:107-123): after the warmup-sync step the Adam moments
+    must be fresh (zeros), not the divergent warmup trajectory's."""
+    from covomix_tpu.train.loop import TrainConfig, init_train_state
+
+    mesh = _mesh()
+    train_cfg = TrainConfig(lr=1e-2)
+    params = {"w": jnp.ones((4, 8), jnp.float32)}
+
+    def loss_fn(p, batch, key):
+        return jnp.mean(jnp.square(p["w"] - batch["x"]))
+
+    batch = {"x": jnp.arange(NDP * 1 * 4 * 8, dtype=jnp.float32).reshape(NDP, 1, 4, 8) * 0.01}
+
+    def run(warmup):
+        st0 = init_train_state(params, train_cfg)
+        stk = stack_for_bmuf(st0, init_bmuf_state(st0.params),  mesh)
+        step = make_bmuf_train_step(loss_fn, train_cfg,
+                                    BMUFConfig(sync_every=10, warmup_steps=warmup), mesh)
+        stk, _ = step(stk, batch, jax.random.PRNGKey(0))
+        return stk
+
+    # warmup_steps=1: the first step IS the warmup sync -> all float
+    # opt-state leaves (Adam moments) reset to zero; without warmup the same
+    # step leaves nonzero moments
+    def float_leaves(s):
+        return [np.asarray(x) for x in jax.tree_util.tree_leaves(s["train"][1])
+                if np.asarray(x).dtype.kind == "f"]
+    assert any(np.abs(x).max() > 0 for x in float_leaves(run(0)))
+    assert all(np.abs(x).max() == 0 for x in float_leaves(run(1)))

@@ -55,11 +55,13 @@ def test_process_batch_slice_degenerate():
 
 def test_process_shard_dataset_strides():
     data = list(range(10))
-    # explicit 3-way split (simulating 3 hosts on one)
+    # explicit 3-way split (simulating 3 hosts on one). Lengths FLOOR on every
+    # rank (DistributedSampler drop_last semantics): a rank-dependent length
+    # would desync steps_per_epoch / the LR schedule across processes.
     shards = [MH.ProcessShardDataset(data, index=i, count=3) for i in range(3)]
-    assert [len(s) for s in shards] == [4, 3, 3]
+    assert [len(s) for s in shards] == [3, 3, 3]
     seen = sorted(x for s in shards for x in (s[i] for i in range(len(s))))
-    assert seen == data                           # disjoint and complete
+    assert seen == sorted(set(range(9)))          # disjoint; remainder dropped
     # degenerate: identity
     one = MH.ProcessShardDataset(data)
     assert len(one) == 10 and [one[i] for i in range(10)] == data
