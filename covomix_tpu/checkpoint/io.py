@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any
 
 import jax
@@ -52,7 +53,11 @@ def _unflatten(flat: dict) -> Any:
 
 
 def save_params(path: str, params: Any, meta: dict | None = None) -> None:
-    """Save a param pytree as .npz (+ sidecar .json metadata)."""
+    """Save a param pytree as .npz (+ sidecar .json metadata). The '.npz'
+    suffix is normalized up front: np.savez would silently append it, leaving
+    the sidecar and load_params pointing at a nonexistent bare path."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     flat = _flatten(params)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     np.savez(path, **flat)
@@ -62,11 +67,15 @@ def save_params(path: str, params: Any, meta: dict | None = None) -> None:
 
 
 def load_params(path: str, device=None) -> Any:
-    """Load a .npz param pytree; arrays land as jnp on the default device."""
+    """Load a .npz param pytree; arrays land as jnp on `device` (default
+    device when None)."""
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path = path + ".npz"
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     tree = _unflatten(flat)
-    return jax.tree_util.tree_map(jnp.asarray, tree)
+    put = (lambda a: jax.device_put(a, device)) if device is not None else jnp.asarray
+    return jax.tree_util.tree_map(put, tree)
 
 
 def load_meta(path: str) -> dict:
@@ -103,11 +112,23 @@ def load_train_state(ckpt_dir: str, step: int | None = None, abstract_state: Any
         return ckptr.restore(path)
 
 
+
+def _step_dirs(ckpt_dir: str):
+    """step_NNNN dirs only — orbax leaves '<name>.orbax-checkpoint-tmp-<ts>'
+    behind if a save is interrupted; those start with 'step_' too and must
+    not crash auto-resume (int() would raise on them)."""
+    out = []
+    for d in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"step_(\d+)", d)
+        if m:
+            out.append(int(m.group(1)))
+    return out
+
 def latest_step(ckpt_dir: str) -> int | None:
     """scan_checkpoint-style auto-resume helper (hifi-gan/train.py:44-59)."""
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = [int(d.split("_")[1]) for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+    steps = _step_dirs(ckpt_dir)
     return max(steps) if steps else None
 
 
@@ -171,11 +192,9 @@ class TopKCheckpointer:
         keep = self._kept_steps()
         if prev_last is not None and prev_last != step and prev_last not in keep:
             self._delete(prev_last)
-        for d in os.listdir(self.ckpt_dir):
-            if d.startswith("step_"):
-                s = int(d.split("_")[1])
-                if s not in keep:
-                    self._delete(s)
+        for s in _step_dirs(self.ckpt_dir):
+            if s not in keep:
+                self._delete(s)
         self._persist()
 
     def best_step(self) -> int | None:

@@ -46,8 +46,10 @@ def choose_different_spk(mel_files: List[str], i: int, rng: Optional[random.Rand
 def _load_pair(mel_path: str) -> Tuple[np.ndarray, np.ndarray]:
     """(mel [T, 80], phonemes [T]) truncated to equal length
     (online_feature_extraction.py:219-233)."""
+    from covomix_tpu.data.datasets import load_codes
+
     mel = np.load(mel_path)
-    codes = np.load(mel_path.replace(".mel.npy", ".hubert_code.npy")).astype(int)
+    codes = load_codes(mel_path.replace(".mel.npy", ".hubert_code.npy"))
     n = min(codes.shape[0], mel.shape[1])
     return mel[:, :n].T.astype(np.float32), codes[:n].astype(np.int32)
 
@@ -104,8 +106,12 @@ def load_two_stream_example(mel_path_a: str, *, rng: Optional[random.Random] = N
         mel_b, codes_b = _load_pair_suffix(other.replace(".mel.npy", "-A.mel.npy"))
         mixed = None
     else:
-        mel_b, codes_b = _load_pair_suffix(mel_path_a.replace("-A", "-B"))
-        mixed_path = mel_path_a.replace("-A", "")
+        # suffix surgery on the BASENAME only: a '-A' in a directory name
+        # must not be rewritten (datasets.py guards the same layout)
+        d, base = os.path.split(mel_path_a)
+        mel_b, codes_b = _load_pair_suffix(
+            os.path.join(d, base.replace("-A.mel.npy", "-B.mel.npy")))
+        mixed_path = os.path.join(d, base.replace("-A.mel.npy", ".mel.npy"))
         mixed = np.load(mixed_path).T.astype(np.float32) if os.path.isfile(mixed_path) else None
     n = min(len(codes_a), len(codes_b))
     mel = np.concatenate([mel_a[:n], mel_b[:n]], axis=1)
@@ -122,6 +128,8 @@ def _load_pair_suffix(mel_path: str):
     code_path = mel_path.replace(".mel.npy", "-16k.hubert_code.npy")
     if not os.path.isfile(code_path):
         code_path = mel_path.replace(".mel.npy", ".hubert_code.npy")
-    codes = np.load(code_path).astype(int)
+    from covomix_tpu.data.datasets import load_codes
+
+    codes = load_codes(code_path)
     n = min(codes.shape[0], mel.shape[1])
     return mel[:, :n].T.astype(np.float32), codes[:n].astype(np.int32)

@@ -46,25 +46,48 @@ def _uniform_indices(n_total: int, n_eval: int) -> List[int]:
 
 def evaluate_acoustic(params, cfg, eval_batches, key, *, mask_frac: float = 0.7,
                       cond_scale: float = 0.7, dtype=jnp.float32) -> Dict[str, float]:
-    """Batched eval with the reference orientation (inference.py:49-70): the
-    mask covers the FIRST mask_frac of the sequence (region generated+scored);
-    cond keeps only the trailing context."""
+    """Batched eval, mode-aware like the reference dispatch:
+
+    * VoSingle ('single'): the mask covers the FIRST mask_frac of the
+      sequence (region generated + scored); cond keeps only the trailing
+      context (inference.py:49-70).
+    * two-stream modes: the 50% protocol — the FIRST half is the prompt
+      (cond kept), the SECOND half is generated and scored
+      (inference.py:79-135, :151-227).
+
+    Rows are handled at their TRUE lengths: pad frames are exactly
+    MEL_PAD=-15 in every dim (real log-mel floors at log(1e-5)=-11.51), the
+    per-row length rides into sample() as valid_len so padding stays out of
+    attention, and the split/score regions are per row — otherwise the 'l2'
+    used for top-10 checkpoint selection would depend on how much bucket
+    padding each batch happened to carry (review r3)."""
     from covomix_tpu.models import acoustic as A
 
     sample = jax.jit(functools.partial(A.sample, cfg=cfg, cond_scale=cond_scale, dtype=dtype))
+    two = cfg.mode != "single"
+    frac = 0.5 if two else mask_frac
     l2s = []
     for batch in eval_batches:
         x = np.asarray(batch["x"])
+        lens = (np.abs(x - (-15.0)) > 1e-6).any(-1).sum(-1).astype(np.int32)  # true frames
         if cfg.mode == "two_one":
             target, cond = x[..., -80:], x[..., :-80].copy()
         else:
             target, cond = x, x.copy()
-        t = x.shape[1]
-        split = int(t * mask_frac)
-        cond[:, :split] = 0.0   # prompt = trailing (1-mask_frac) context
+        splits = (lens * frac).astype(int)
+        for i in range(x.shape[0]):
+            if two:
+                cond[i, splits[i]:] = 0.0    # prompt = first half
+            else:
+                cond[i, : splits[i]] = 0.0   # prompt = trailing context
         key, sub = jax.random.split(key)
-        pred = np.asarray(sample(params, key=sub, phoneme_ids=jnp.asarray(batch["phonemes"]), cond=jnp.asarray(cond)))
-        l2s.append(float(np.mean((pred[:, :split] - target[:, :split]) ** 2)))
+        pred = np.asarray(sample(params, key=sub, phoneme_ids=jnp.asarray(batch["phonemes"]),
+                                 cond=jnp.asarray(cond), valid_len=jnp.asarray(lens)))
+        for i in range(x.shape[0]):
+            s, li = int(splits[i]), int(lens[i])
+            region = slice(s, li) if two else slice(0, s)
+            if region.stop > region.start:
+                l2s.append(float(np.mean((pred[i, region] - target[i, region]) ** 2)))
     return {"l2": float(np.mean(l2s)) if l2s else float("nan")}
 
 
@@ -94,12 +117,13 @@ def evaluate_acoustic_files(params, cfg, mel_files: List[str], num_eval_files: i
         split = int(t * 0.7)
         cond = mel.copy()
         cond[:split] = 0.0
-        mel_p = _pad_bucket(mel, bucket, -15.0)
         cond_p = _pad_bucket(cond, bucket, 0.0)
         codes_p = _pad_bucket(codes, bucket, 501)
         key, sub = jax.random.split(key)
+        # valid_len: bucket padding must stay out of attention, or the score
+        # depends on how much padding each file happened to get
         pred = np.asarray(sample(params, key=sub, phoneme_ids=jnp.asarray(codes_p)[None],
-                                 cond=jnp.asarray(cond_p)[None]))[0]
+                                 cond=jnp.asarray(cond_p)[None], valid_len=jnp.int32(t)))[0]
         l2s.append(float(np.mean((pred[:split] - mel[:split]) ** 2)))
     return {"l2": float(np.mean(l2s)) if l2s else float("nan")}
 
@@ -127,7 +151,7 @@ def evaluate_acoustic_two_one_files(params, cfg, mel_files: List[str], num_eval_
         codes_p = _pad_bucket(codes2, bucket, 501)
         key, sub = jax.random.split(key)
         pred = np.asarray(sample(params, key=sub, phoneme_ids=jnp.asarray(codes_p)[None],
-                                 cond=jnp.asarray(cond_p)[None]))[0]
+                                 cond=jnp.asarray(cond_p)[None], valid_len=jnp.int32(t)))[0]
         l2s.append(float(np.mean((pred[split:t] - mixed[split:t]) ** 2)))
     return {"l2": float(np.mean(l2s)) if l2s else float("nan")}
 
@@ -157,7 +181,7 @@ def evaluate_acoustic_two_two_files(params, cfg, mel_files: List[str], num_eval_
         codes_p = _pad_bucket(codes2, bucket, 501)
         key, sub = jax.random.split(key)
         pred = np.asarray(sample(params, key=sub, phoneme_ids=jnp.asarray(codes_p)[None],
-                                 cond=jnp.asarray(cond_p)[None]))[0]
+                                 cond=jnp.asarray(cond_p)[None], valid_len=jnp.int32(t)))[0]
         l2s.append(float(np.mean((pred[split:t] - mel2[split:t]) ** 2)))
     return {"l2": float(np.mean(l2s)) if l2s else float("nan")}
 
@@ -229,7 +253,9 @@ def evaluate_t2s_files(params, cfg, tokenizer, code_files: List[str], num_eval_f
             txt_path = code_path.replace(".hubert_code.npy", ".txt")
         with open(txt_path) as f:
             text = f.read()
-        gt = np.load(code_path).astype(int).reshape(-1)
+        from covomix_tpu.data.datasets import load_codes
+
+        gt = load_codes(code_path).reshape(-1)
         ids = np.asarray(tokenizer.encode(text), np.int32)
         ids = _pad_bucket(ids, bucket, 0)
         key, sub = jax.random.split(key)

@@ -57,3 +57,26 @@ def test_index_persists_for_resume(tmp_path):
     mgr2.save(_state(4), 40, metric=0.05)
     assert 30 not in _steps_on_disk(d)
     assert mgr2.best_step() == 40
+
+
+def test_latest_step_ignores_stale_orbax_tmp_dirs(tmp_path):
+    """An interrupted orbax save leaves 'step_N.orbax-checkpoint-tmp-<ts>'
+    behind; auto-resume must skip it instead of crashing on int()."""
+    from covomix_tpu.checkpoint import io as cio
+
+    d = tmp_path / "ckpts"
+    d.mkdir()
+    (d / "step_00000100").mkdir()
+    (d / "step_00000200.orbax-checkpoint-tmp-1712345678").mkdir()
+    assert cio.latest_step(str(d)) == 100
+
+
+def test_save_params_normalizes_npz_extension(tmp_path):
+    from covomix_tpu.checkpoint import io as cio
+
+    p = {"w": np.ones((3,), np.float32)}
+    bare = str(tmp_path / "acoustic")          # no .npz
+    cio.save_params(bare, p, meta={"kind": "acoustic"})
+    loaded = cio.load_params(bare)             # both spellings work
+    np.testing.assert_array_equal(np.asarray(loaded["w"]), p["w"])
+    assert cio.load_meta(bare + ".npz")["kind"] == "acoustic"
