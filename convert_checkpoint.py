@@ -18,6 +18,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import covomix_tpu.util.jaxcache  # noqa: E402,F401 — compile cache + COVOMIX_FORCE_CPU
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -34,32 +36,10 @@ def main():
 
     if args.kind == "lightning":
         params, hparams = tc.convert_lightning_ckpt(args.src, use_ema=not args.no_ema)
-        if hparams.get("text2semantic"):
-            cfg = {
-                "dim": int(hparams.get("CoVoMix_dim_transformer", 512)),
-                "source_depth": int(hparams.get("text2semantic_source_depth", 4)),
-                "target_depth": int(hparams.get("text2semantic_target_depth", 4)),
-                "heads": int(hparams.get("text2semantic_head", 8)),
-                "num_text_tokens": int(hparams.get("num_text_token_ids", 30528)),
-                "num_semantic_tokens": int(hparams.get("text2semantic_tokens", 501)),
-                "target_dim": int(hparams.get("target_transformer_dim") or hparams.get("CoVoMix_dim_transformer", 512)),
-                "two_output": bool(hparams.get("text2semantic_two_output", False)),
-                "no_source_transformer": bool(hparams.get("no_source_transformer", False)),
-            }
-            kind = "t2s"
-        else:
-            mode = "two_one" if hparams.get("twocondition_oneoutput") else (
-                "two_two" if hparams.get("twocondition_twooutput") else "single")
-            cfg = {
-                "dim_in": int(hparams.get("CoVoMix_dim", 80)),
-                "dim": int(hparams.get("CoVoMix_dim_transformer", 1024)),
-                "depth": int(hparams.get("CoVoMix_depth", 8)),
-                "heads": int(hparams.get("CoVoMix_heads", 16)),
-                "dim_head": int(hparams.get("CoVoMix_dim_head", 64)),
-                "num_phoneme_tokens": int(hparams.get("CoVoMix_num_phoneme_tokens", 502)),
-                "mode": mode,
-            }
-            kind = "acoustic"
+        # single source of truth for the hparams->config mapping (shared with
+        # the generation CLIs and verify_reference_ckpts.py)
+        cfg = tc.cfg_kwargs_from_hparams(hparams)
+        kind = "t2s" if hparams.get("text2semantic") else "acoustic"
         cio.save_params(args.dst, params, meta={"kind": kind, "config": cfg, "source": args.src,
                                                 "ema": not args.no_ema})
     elif args.kind == "hifigan":

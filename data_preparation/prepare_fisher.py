@@ -131,8 +131,9 @@ def process_utterance(file_id: str, line: str, *, keep_low_conf: bool, rem_noise
 
 
 class Partitioner:
-    """train/val/test by file index (process_fisher_data*.py:72-73,
-    __partition_name :300-306). Monologue: everything 'train'."""
+    """train/val/test by file index (__partition_name, :300-306). Only the
+    conversation script splits (0.8/0.9 boundaries); monologue and dialogue
+    send everything to 'train'."""
 
     def __init__(self, num_files: int, split: bool):
         self.train_end = int(num_files * 0.8) if split else num_files
@@ -301,7 +302,13 @@ def main():
         mpath = os.path.join(args.dest_root, f"manifest_{part}.json")
         open(mpath, "w").close()  # wipe manifests like the reference (:371-375)
 
-    partition = Partitioner(args.num_files, split=args.mode != "monologue")
+    # ONLY conversation mode splits 80/10/10; monologue AND dialogue
+    # (overlap_text2semantic) send every file to train — both reference
+    # scripts set TRAIN_END_IDX = VAL_END_IDX = NUM_FILES
+    # (process_fisher_data.py:71-73,
+    # process_fisher_data_conversation_overlap_text2semantic.py:71-73; the
+    # 0.8/0.9 factors exist only in process_fisher_data_conversation.py:72-73)
+    partition = Partitioner(args.num_files, split=args.mode == "conversation")
     data_sets = [d for d in args.data_sets.split(",") if d] or [None]
     file_count = 0
     total = 0

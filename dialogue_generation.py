@@ -16,14 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import covomix_tpu.util.jaxcache  # noqa: F401
-
-if os.environ.get("COVOMIX_FORCE_CPU"):
-    # the axon jax build ignores the JAX_PLATFORMS env var; this is the only
-    # working CPU override (tests drive the CLIs as subprocesses on CPU)
-    import jax as _jax
-
-    _jax.config.update("jax_platforms", "cpu")
+import covomix_tpu.util.jaxcache  # noqa: F401 — compile cache + COVOMIX_FORCE_CPU
 
 
 def main():

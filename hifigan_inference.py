@@ -49,7 +49,14 @@ def main():
     if args.checkpoint_file.endswith(".npz"):
         params = cio.load_params(args.checkpoint_file)
         meta = cio.load_meta(args.checkpoint_file)
-        c = meta.get("config", {})
+        c = dict(meta.get("config", {}))
+        if args.config:
+            # npz meta carries model-structure keys but not always the mel
+            # analysis params (n_fft/hop/win/fmin/fmax) — --config overlays
+            # them, else a non-default vocoder would copy-synthesize at the
+            # covomix defaults with no error
+            with open(args.config) as f:
+                c.update(json.load(f))
     else:
         from covomix_tpu.checkpoint.torch_convert import convert_hifigan_ckpt
 

@@ -95,9 +95,15 @@ def main():
                 if mel.shape[0] == h["num_mels"] and mel.shape[-1] != h["num_mels"]:
                     mel = mel.T  # -> [T, 80]
                 if len(wav) >= seg and mel.shape[0] > frames_per_seg + 1:
-                    ms = rng.randint(0, mel.shape[0] - frames_per_seg - 1)
+                    # clamp by the WAV too: a bucket-padded mel can outrun the
+                    # audio, and a crop past len(wav) would yield a short row
+                    # that crashes np.stack
+                    ms_max = min(mel.shape[0] - frames_per_seg - 1,
+                                 len(wav) // hop - frames_per_seg)
+                    ms = rng.randint(0, max(ms_max, 0)) if ms_max > 0 else 0
                     mel = mel[ms : ms + frames_per_seg]
                     wav = wav[ms * hop : (ms + frames_per_seg) * hop]
+                    wav = np.pad(wav, (0, frames_per_seg * hop - len(wav)))
                 else:
                     mel = np.pad(mel, ((0, frames_per_seg - mel.shape[0]), (0, 0)),
                                  constant_values=-15.0) if mel.shape[0] < frames_per_seg else mel[:frames_per_seg]
@@ -157,15 +163,19 @@ def main():
     val_files = sorted(glob.glob(os.path.join(args.input_validation_dir, "**", "*.wav"),
                                  recursive=True))[:8] if args.input_validation_dir else []
 
+    import functools as _functools
+
+    from covomix_tpu.models import vocoder as Vm
+
+    # built ONCE: a fresh jax.jit wrapper per validate() call would retrace
+    # the generator every interval. fuse_tail=False: validation runs once per
+    # interval on one shape; not worth the fused tail kernel's long
+    # first-compile mid-training
+    _val_voc = jax.jit(_functools.partial(Vm.generator, cfg=voc_cfg, fuse_tail=False))
+
     def validate(state, step_i):
-        import functools
-
-        from covomix_tpu.models import vocoder as Vm
-
         gen = wn_fold(state.gen_params) if gan_cfg.weight_norm else state.gen_params
-        # fuse_tail=False: validation runs once per interval on one shape;
-        # not worth the fused tail kernel's long first-compile mid-training
-        voc = jax.jit(functools.partial(Vm.generator, cfg=voc_cfg, fuse_tail=False))
+        voc = _val_voc
         errs = []
         for vi, f in enumerate(val_files):
             wav, _ = load_wav(f, sr=sr)

@@ -20,14 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import covomix_tpu.util.jaxcache  # noqa: F401
-
-if os.environ.get("COVOMIX_FORCE_CPU"):
-    # the axon jax build ignores the JAX_PLATFORMS env var; this is the only
-    # working CPU override (tests drive the CLIs as subprocesses on CPU)
-    import jax as _jax
-
-    _jax.config.update("jax_platforms", "cpu")
+import covomix_tpu.util.jaxcache  # noqa: F401 — compile cache + COVOMIX_FORCE_CPU
 
 
 def load_models(args):
@@ -38,11 +31,10 @@ def load_models(args):
     from covomix_tpu.checkpoint import io as cio
     from covomix_tpu.models import acoustic as A, text2semantic as T, vocoder as V
     from covomix_tpu.data.tokenizer import load_covomix_tokenizer
-    from covomix_tpu.pipeline import Synthesizer
+    from covomix_tpu.pipeline import Synthesizer, _tupled  # recursive: nested
+    # lists (resblock_dilation_sizes) must become tuples-of-tuples or the
+    # frozen config is unhashable as a static jit arg
     from covomix_tpu.audio import MelConfig
-
-    def _tupled(v):
-        return tuple(v) if isinstance(v, list) else v
 
     def load_any(path, cfg_cls, kind):
         if path.endswith(".npz"):

@@ -33,7 +33,8 @@ def main():
     p.add_argument("--bert_vocab", type=str, default=None)
     p.add_argument("--allow_fallback_vocab", action="store_true",
                    help="permit the checkpoint-incompatible char-level fallback vocab")
-    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--bf16", action="store_true", help="force bfloat16 compute (default on TPU)")
+    p.add_argument("--f32", action="store_true", help="force float32 compute")
     p.add_argument("--staged", action="store_true",
                    help="run the cascade as three per-stage programs instead of the "
                         "default single fused jit (debugging / per-stage timing)")
