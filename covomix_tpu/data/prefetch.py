@@ -15,6 +15,8 @@ import queue
 import threading
 from typing import Any, Callable, Iterator, Optional
 
+import numpy as np
+
 
 class _Stop:
     pass
@@ -103,7 +105,12 @@ class PrefetchSampler:
             n = 0
             try:
                 while not self._stop.is_set():
-                    batch = make_batch(seed * 100003 + worker_id * 1009 + n)
+                    # collision-free per-(worker, n) seed stream: a linear
+                    # combination like seed*K1 + worker*K2 + n overlaps across
+                    # workers once n >= K2, silently replaying another
+                    # worker's batches; SeedSequence hashes the tuple
+                    batch = make_batch(int(np.random.SeedSequence(
+                        (seed, worker_id, n)).generate_state(1)[0]))
                     n += 1
                     if transfer is not None:
                         batch = transfer(batch)

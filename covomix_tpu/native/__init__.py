@@ -58,7 +58,10 @@ def _load():
         lib.block_to_dataset_index.restype = None
         lib.block_to_dataset_index.argtypes = [i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # OSError: unloadable .so. AttributeError: a stale .so missing a newer
+        # symbol AND the rebuild failed (no compiler) — fall back to numpy
+        # rather than hard-failing every wrapper (the module contract)
         _lib = False
     return _lib
 
@@ -113,6 +116,10 @@ def batch_by_size(lengths: Sequence[int], max_tokens: int = 0, max_sentences: in
     """Length-sorted bucketing into batches (fairseq data_utils_fast semantics).
     Returns a list of index arrays."""
     lengths = _as_i64(lengths)
+    if len(lengths) == 0:
+        # guard BEFORE the native call: the C++ writes out_boundaries[1]
+        # unconditionally, past the 1-element buffer allocated for n==0
+        return []
     order = _as_i64(np.argsort(lengths, kind="stable"))
     lib = _load()
     if lib:

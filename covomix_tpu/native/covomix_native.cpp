@@ -61,6 +61,7 @@ void levenshtein_batch_i64(const int64_t* flat_a, const int64_t* off_a,
 int64_t batch_by_size(const int64_t* lengths, const int64_t* indices, int64_t n,
                       int64_t max_tokens, int64_t max_sentences,
                       int64_t* out_boundaries) {
+    if (n <= 0) return 0;  // out_boundaries capacity is n+1; no tail write
     int64_t num_batches = 0;
     int64_t start = 0;
     int64_t max_len = 0;

@@ -35,7 +35,12 @@ def alignment_regularizer(
     arXiv 2309.08773): pool source/target over time (logsumexp or max), l2-
     normalize, and match the off-diagonal similarity structures across the
     (globally gathered) batch with MSE."""
-    neg = -jnp.finfo(source_emb.dtype).max
+    # large-but-safe fill: -finfo.max would overflow to -inf under the /temp
+    # in the logsumexp pool, and an all-masked row (empty/fully-padded text)
+    # would then produce -inf -> nan through l2norm, poisoning the whole
+    # loss's gradients. -1e30/temp stays finite; an all-masked row pools to a
+    # constant vector and contributes a fixed direction instead of nan.
+    neg = jnp.asarray(-1e30, source_emb.dtype)
     if source_mask is not None:
         source_emb = jnp.where(source_mask[..., None], source_emb, neg)
     if target_mask is not None:

@@ -36,20 +36,21 @@ def mcd(mel_ref: np.ndarray, mel_hyp: np.ndarray) -> float:
 
 
 def energy_ratios(estimate: np.ndarray, reference: np.ndarray, mixture: np.ndarray):
-    """si_sdr / si_sir / si_sar decomposition (covomix/util/other.py:14-50)."""
+    """si_sdr / si_sir / si_sar decomposition, exactly the reference math
+    (si_sdr_components + energy_ratios, covomix/util/other.py:14-40): NO
+    mean-centering, e_noise projects the FULL estimate onto n = mixture -
+    reference (alpha_n = <s_hat, n>/||n||^2 — not the residual s_hat -
+    s_target, which would differ by <s_target, n>/||n||^2)."""
     eps = 1e-8
-    reference = reference - reference.mean()
-    estimate = estimate - estimate.mean()
-    mixture = mixture - mixture.mean()
-    alpha = np.dot(estimate, reference) / (np.dot(reference, reference) + eps)
-    target = alpha * reference
-    noise = mixture - reference
-    beta = np.dot(estimate - target, noise) / (np.dot(noise, noise) + eps)
-    interference = beta * noise
-    artifacts = estimate - target - interference
-    sdr = 10 * np.log10((np.sum(target**2) + eps) / (np.sum((estimate - target) ** 2) + eps))
-    sir = 10 * np.log10((np.sum(target**2) + eps) / (np.sum(interference**2) + eps))
-    sar = 10 * np.log10((np.sum(target**2) + eps) / (np.sum(artifacts**2) + eps))
+    s, s_hat = reference, estimate
+    n = mixture - reference
+    s_target = (np.dot(s_hat, s) / (np.dot(s, s) + eps)) * s
+    e_noise = (np.dot(s_hat, n) / (np.dot(n, n) + eps)) * n
+    e_art = s_hat - s_target - e_noise
+    num = np.sum(s_target**2) + eps
+    sdr = 10 * np.log10(num / (np.sum((e_noise + e_art) ** 2) + eps))
+    sir = 10 * np.log10(num / (np.sum(e_noise**2) + eps))
+    sar = 10 * np.log10(num / (np.sum(e_art**2) + eps))
     return float(sdr), float(sir), float(sar)
 
 
@@ -72,16 +73,20 @@ def _thirdoct(fs: int, nfft: int, num_bands: int, min_freq: float):
 
 
 def _stft_frames(x: np.ndarray, win: int, hop: int, nfft: int):
-    n = 1 + max(0, (len(x) - win)) // hop
-    if n <= 0:
+    if len(x) < win:
         return np.zeros((0, nfft // 2 + 1))
+    n = 1 + (len(x) - win) // hop
     idx = np.arange(n)[:, None] * hop + np.arange(win)[None, :]
     w = np.hanning(win + 2)[1:-1]
     return np.fft.rfft(x[idx] * w, nfft, axis=1)
 
 
 def _remove_silent_frames(x, y, dyn_range=40, win=256, hop=128):
-    n = 1 + max(0, (len(x) - win)) // hop
+    if len(x) < win:
+        # shorter than one window: no frames (the 1 + .. formula would still
+        # yield one frame whose indices run past the signal)
+        return x[:0], y[:0]
+    n = 1 + (len(x) - win) // hop
     idx = np.arange(n)[:, None] * hop + np.arange(win)[None, :]
     w = np.hanning(win + 2)[1:-1]
     energies = 20 * np.log10(np.linalg.norm(x[idx] * w, axis=1) + 1e-12)

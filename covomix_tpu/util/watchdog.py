@@ -4,8 +4,10 @@ that fires if no step completes within a timeout — on TPU pods a single hung
 host stalls the whole collective, so surfacing the hang beats waiting forever.
 
 Unlike the reference (which SIGKILLs the process), the default action logs a
-loud message with the last-completed step and optionally raises in the main
-thread on the next heartbeat check; killing is opt-in."""
+loud message with the last-completed step and sets `.fired` for the caller to
+poll; killing the process (SIGKILL like the reference) is opt-in via
+kill=True. No exception is raised into the main thread — a hung collective
+would never surface it."""
 
 from __future__ import annotations
 

@@ -187,7 +187,10 @@ def main():
     elif len(dataset.files) >= 10:
         val_files = dataset.files[::10]
         dataset.files = [f for i, f in enumerate(dataset.files) if i % 10]
-        dataset.short_files = dataset.files
+        # re-derive like __post_init__: the augmentation pool must exclude
+        # _1/_2 pair files (their .txt sibling does not exist)
+        dataset.short_files = [f for f in dataset.files
+                               if not os.path.basename(f).endswith("_1.hubert_code.npy")] or dataset.files
         val_dataset = CoVoMixDataset(args.base_dir, format=args.format,
                                      random_mask=args.random_mask, shuffle_spec=False,
                                      seed=args.seed, files=val_files)
@@ -199,7 +202,8 @@ def main():
         sys.exit(f"no eval files found under {args.dev_base_dir}")
     # multihost: --batch_size is the GLOBAL batch; each process loads a
     # rank-strided shard of the files and 1/n_proc of the rows
-    assert args.batch_size % n_proc == 0, f"--batch_size {args.batch_size} must divide by {n_proc} processes"
+    if args.batch_size % n_proc:
+        sys.exit(f"--batch_size {args.batch_size} must divide by {n_proc} processes")
     local_bs = args.batch_size // n_proc
     if n_proc > 1:
         dataset = MH.ProcessShardDataset(dataset)
@@ -343,6 +347,9 @@ def main():
         logger = MetricsLogger(run_dir, tensorboard=primary,
                                wandb=primary and not args.no_wandb,
                                wandb_run=args.run_name)
+        import atexit
+
+        atexit.register(logger.close)  # crash path: flush TB events too
         total_steps = args.max_steps or args.max_epochs * steps_per_epoch
         t_last, step_last = time.time(), start_step
         watchdog = Watchdog(timeout_s=1800.0, name=run_name)
@@ -398,6 +405,9 @@ def main():
                 ckpt_mgr.save(jax.device_get(state), step_i + 1, metric=eval_metric)
                 save_canonical_ema(step_i + 1)
         watchdog.__exit__()
+        # flush TB events (SummaryWriter's writer is a daemon thread with no
+        # atexit flush — the last flush_secs of curves would vanish)
+        logger.close()
 
         if primary:
             ckpt_mgr.save(jax.device_get(state), total_steps)
