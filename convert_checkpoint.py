@@ -48,6 +48,17 @@ def main():
         if os.path.isfile(cfg_file):
             with open(cfg_file) as f:
                 h = json.load(f)
+        ckpt = tc.load_torch_file(args.src)
+        if "mpd" in ckpt and "msd" in ckpt:
+            # do_<step> discriminator checkpoint (hifi-gan/train.py:183-190):
+            # convert to the training parametrization ((v,g) weight norm +
+            # MSD[0] spectral buffers) so a reference GAN run resumes here
+            mpd, msd = tc.convert_hifigan_discriminators(ckpt)
+            cio.save_params(args.dst, {"mpd": mpd, "msd": msd},
+                            meta={"kind": "hifigan_discriminators", "source": args.src,
+                                  "steps": int(ckpt.get("steps", 0))})
+            print(f"converted MPD+MSD (do_ checkpoint, step {ckpt.get('steps', '?')}) -> {args.dst}")
+            return
         params = tc.convert_hifigan_ckpt(args.src, h)
         cfg = {
             "num_mels": h.get("num_mels", 80),

@@ -282,24 +282,54 @@ def convert_t2s(state_dict: dict, source_depth: int, target_depth: int, prefix: 
 # HiFi-GAN
 
 
-def convert_hifigan_generator(state_dict: dict, num_ups: int, num_resblock_convs: int = 3, num_kernels: int = 3) -> dict:
+def _conv1d_vg(sd, key):
+    """Training-form (v, g) leaf from a torch weight_norm Conv1d: keeps the
+    checkpoint's exact parametrization instead of folding — resuming training
+    with folded weights would be a reparametrized point (same function, but
+    ||v|| rescales the weight-norm gradient geometry)."""
+    p = {"v": _np(sd[key + ".weight_v"]).transpose(2, 1, 0),
+         "g": _np(sd[key + ".weight_g"]).transpose(2, 1, 0)}
+    if key + ".bias" in sd:
+        p["b"] = _np(sd[key + ".bias"])
+    return p
+
+
+def _convt1d_vg(sd, key):
+    """ConvTranspose1d (v, g): torch [I, O, K] with weight_norm dim=0 (per-I
+    g of shape [I, 1, 1]) -> ours [K, In, Out] with g [1, In, 1]."""
+    p = {"v": _np(sd[key + ".weight_v"]).transpose(2, 0, 1),
+         "g": _np(sd[key + ".weight_g"]).transpose(2, 0, 1)}
+    if key + ".bias" in sd:
+        p["b"] = _np(sd[key + ".bias"])
+    return p
+
+
+def convert_hifigan_generator(state_dict: dict, num_ups: int, num_resblock_convs: int = 3,
+                              num_kernels: int = 3, parametrized: bool = False) -> dict:
+    """g_<step> generator state dict -> param tree. Default: weight norm
+    FOLDED (inference form, remove_weight_norm semantics,
+    covomix/vocoder/models.py:118-125). parametrized=True keeps torch's
+    (v, g) leaves — the training form train.gan consumes for resuming a
+    reference GAN run with identical weight-norm geometry."""
     sd = state_dict
+    c1 = _conv1d_vg if parametrized else _conv1d_wn
+    ct = _convt1d_vg if parametrized else _convt1d_wn
     p = {
-        "conv_pre": _conv1d_wn(sd, "conv_pre"),
-        "ups": [_convt1d_wn(sd, f"ups.{i}") for i in range(num_ups)],
+        "conv_pre": c1(sd, "conv_pre"),
+        "ups": [ct(sd, f"ups.{i}") for i in range(num_ups)],
         "resblocks": [],
-        "conv_post": _conv1d_wn(sd, "conv_post"),
+        "conv_post": c1(sd, "conv_post"),
     }
     n_res = num_ups * num_kernels
     for r in range(n_res):
         if f"resblocks.{r}.convs1.0.weight_v" in sd or f"resblocks.{r}.convs1.0.weight" in sd:
             p["resblocks"].append({
-                "convs1": [_conv1d_wn(sd, f"resblocks.{r}.convs1.{j}") for j in range(num_resblock_convs)],
-                "convs2": [_conv1d_wn(sd, f"resblocks.{r}.convs2.{j}") for j in range(num_resblock_convs)],
+                "convs1": [c1(sd, f"resblocks.{r}.convs1.{j}") for j in range(num_resblock_convs)],
+                "convs2": [c1(sd, f"resblocks.{r}.convs2.{j}") for j in range(num_resblock_convs)],
             })
         else:  # ResBlock2
             p["resblocks"].append({
-                "convs": [_conv1d_wn(sd, f"resblocks.{r}.convs.{j}") for j in range(2)],
+                "convs": [c1(sd, f"resblocks.{r}.convs.{j}") for j in range(2)],
             })
     return p
 
@@ -405,13 +435,72 @@ def convert_lightning_ckpt(path: str, *, use_ema: bool = True) -> tuple[dict, di
     return params, hparams
 
 
-def convert_hifigan_ckpt(path: str, config: dict | None = None) -> dict:
-    """HiFi-GAN generator checkpoint ({'generator': sd}) -> param pytree."""
+def _wn_leaf(sd: dict, base: str, perm: tuple) -> dict:
+    """torch weight_norm conv -> our (v, g, b) leaf. torch stores weight_v
+    (w-shaped) and weight_g ([O, 1, ...], dim=0 keepdims); both transpose by
+    the same perm into our trailing-O layout ([1, ..., O] keepdims)."""
+    return {"v": _np(sd[base + ".weight_v"]).transpose(perm),
+            "g": _np(sd[base + ".weight_g"]).transpose(perm),
+            "b": _np(sd[base + ".bias"])}
+
+
+def _sn_leaf(sd: dict, base: str) -> dict:
+    """torch (legacy util) spectral_norm Conv1d -> our (w, b, u, v) leaf.
+    weight_orig [O, I/g, K] -> w [K, I/g, O]; u [O] copies; torch's v is flat
+    over (i, k) (weight.reshape(O, -1) column order) while ours is flat over
+    (k, i) (w.reshape(-1, O) row order) — permute."""
+    w_t = _np(sd[base + ".weight_orig"])          # [O, I/g, K]
+    o, ig, k = w_t.shape
+    v_t = _np(sd[base + ".weight_v"])             # [(I/g)*K], (i, k) order
+    return {"w": w_t.transpose(2, 1, 0),
+            "b": _np(sd[base + ".bias"]),
+            "u": _np(sd[base + ".weight_u"]),
+            "v": v_t.reshape(ig, k).T.ravel()}
+
+
+def convert_hifigan_discriminators(ckpt: dict) -> tuple[dict, dict]:
+    """do_<step> checkpoint ({'mpd': sd, 'msd': sd, 'optim_g', 'optim_d',
+    'steps', 'epoch'}, hifi-gan/train.py:179-190) -> (mpd, msd) param trees
+    in train.gan's TRAINING parametrization: weight_norm (v, g) on every MPD
+    conv and MSD sub-discriminators 1-2, spectral-norm buffers (w, u, v) on
+    MSD sub-discriminator 0 — so a reference GAN run resumes in-framework
+    with identical discriminator geometry (optimizer moments are not
+    converted; resume re-inits optax state).
+
+    Layouts: MPD Conv2d [O, I, kh, kw] -> [kh, kw, I, O]; MSD Conv1d
+    [O, I/g, K] -> [K, I/g, O] (models.py:128-161, :191-232)."""
+    mpd_sd, msd_sd = ckpt["mpd"], ckpt["msd"]
+    p2 = (2, 3, 1, 0)
+    mpd = {"discriminators": []}
+    for di in range(5):
+        base = f"discriminators.{di}"
+        mpd["discriminators"].append({
+            "convs": [_wn_leaf(mpd_sd, f"{base}.convs.{ci}", p2) for ci in range(5)],
+            "conv_post": _wn_leaf(mpd_sd, f"{base}.conv_post", p2),
+        })
+    p1 = (2, 1, 0)
+    msd = {"discriminators": []}
+    for di in range(3):
+        base = f"discriminators.{di}"
+        leaf = (lambda b: _sn_leaf(msd_sd, b)) if di == 0 else (lambda b: _wn_leaf(msd_sd, b, p1))
+        msd["discriminators"].append({
+            "convs": [leaf(f"{base}.convs.{ci}") for ci in range(7)],
+            "conv_post": leaf(f"{base}.conv_post"),
+        })
+    return mpd, msd
+
+
+def convert_hifigan_ckpt(path: str, config: dict | None = None,
+                         parametrized: bool = False) -> dict:
+    """HiFi-GAN generator checkpoint ({'generator': sd}) -> param pytree.
+    parametrized=True keeps the (v, g) training form (see
+    convert_hifigan_generator)."""
     ckpt = load_torch_file(path)
     sd = ckpt["generator"] if "generator" in ckpt else ckpt
     num_ups = len((config or {}).get("upsample_rates", [5, 4, 4, 2]))
     num_kernels = len((config or {}).get("resblock_kernel_sizes", [3, 7, 11]))
-    return convert_hifigan_generator(sd, num_ups=num_ups, num_kernels=num_kernels)
+    return convert_hifigan_generator(sd, num_ups=num_ups, num_kernels=num_kernels,
+                                     parametrized=parametrized)
 
 
 def convert_hubert_ckpt(pt_path: str, km_path: str | None = None) -> dict:

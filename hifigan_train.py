@@ -34,6 +34,14 @@ def main():
     p.add_argument("--dp", type=int, default=0, help="data-parallel chips (0 = single device)")
     p.add_argument("--num_workers", type=int, default=2, help="prefetch threads (DataLoader num_workers equiv.)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--init_g", default=None,
+                   help="initialize the generator from a reference g_<step> torch "
+                        "checkpoint (converted to the (v,g) training form) or a "
+                        "parametrized .npz — continue a reference GAN run here")
+    p.add_argument("--init_do", default=None,
+                   help="initialize MPD/MSD from a reference do_<step> torch "
+                        "checkpoint or a converted hifigan_discriminators .npz "
+                        "(optimizer moments start fresh)")
     args = p.parse_args()
 
     import jax
@@ -127,6 +135,30 @@ def main():
                         segment_size=seg)
     key = jax.random.PRNGKey(args.seed)
     state = init_gan_state(key, voc_cfg, gan_cfg)
+
+    if args.init_g or args.init_do:
+        # continue a reference torch GAN run: generator in the exact (v,g)
+        # parametrization, discriminators with the reference norm layout
+        # (weight_norm + MSD[0] spectral buffers). Optimizer state is fresh.
+        from covomix_tpu.checkpoint import torch_convert as tc
+
+        asj = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        gen_p, mpd_p, msd_p = state.gen_params, state.mpd_params, state.msd_params
+        if args.init_g:
+            if args.init_g.endswith(".npz"):
+                gen_p = asj(cio.load_params(args.init_g))
+            else:
+                gen_p = asj(tc.convert_hifigan_ckpt(args.init_g, h, parametrized=True))
+            print(f"generator initialized from {args.init_g}")
+        if args.init_do:
+            if args.init_do.endswith(".npz"):
+                d = cio.load_params(args.init_do)
+                mpd_p, msd_p = asj(d["mpd"]), asj(d["msd"])
+            else:
+                mpd_p, msd_p = (asj(t) for t in
+                                tc.convert_hifigan_discriminators(tc.load_torch_file(args.init_do)))
+            print(f"discriminators initialized from {args.init_do}")
+        state = GanState(gen_p, mpd_p, msd_p, state.opt_g, state.opt_d, state.step)
 
     mesh = None
     batch_sharding = None

@@ -259,3 +259,53 @@ def test_train_cli_bmuf_rejects_tp(tmp_path):
                           "--log_dir", str(tmp_path / "l")], cwd=str(tmp_path))
     assert r.returncode != 0
     assert "pure-dp" in (r.stderr + r.stdout)
+
+
+def test_hifigan_train_init_from_torch_checkpoints(tmp_path):
+    """Continue a reference GAN run: --init_g (g_<step>, exact (v,g) form) and
+    --init_do (do_<step>, weight-norm + MSD[0] spectral buffers) initialize
+    the training state from torch checkpoints (hifi-gan/train.py:44-59)."""
+    import json
+
+    import torch
+
+    from covomix_tpu.audio import save_wav
+    from covomix_tpu.util.reference_compat import load_reference_vocoder
+
+    ref = load_reference_vocoder()
+
+    class H:
+        num_mels = 80
+        upsample_rates = [5, 4, 4, 2]
+        upsample_kernel_sizes = [8, 8, 4, 4]
+        upsample_initial_channel = 16
+        resblock = "1"
+        resblock_kernel_sizes = [3, 7, 11]
+        resblock_dilation_sizes = [[1, 3, 5]] * 3
+
+    torch.manual_seed(0)
+    torch.save({"generator": ref.Generator(H()).state_dict()}, tmp_path / "g_00000100")
+    torch.save({"mpd": ref.MultiPeriodDiscriminator().state_dict(),
+                "msd": ref.MultiScaleDiscriminator().state_dict(),
+                "steps": 100, "epoch": 1}, tmp_path / "do_00000100")
+    wavs = tmp_path / "wavs"
+    wavs.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(3):
+        save_wav(str(wavs / f"u{i}.wav"), rs.randn(9000).astype(np.float32) * 0.2, 8000)
+    cfg = dict(num_mels=80, n_fft=480, hop_size=160, win_size=480, sampling_rate=8000,
+               fmin=0, fmax=4000, fmax_for_loss=None, upsample_rates=[5, 4, 4, 2],
+               upsample_kernel_sizes=[8, 8, 4, 4], upsample_initial_channel=16,
+               resblock="1", resblock_kernel_sizes=[3, 7, 11],
+               resblock_dilation_sizes=[[1, 3, 5]] * 3, segment_size=1600,
+               learning_rate=2e-4, adam_b1=0.8, adam_b2=0.99, lr_decay=0.999, batch_size=2)
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    r = _run("hifigan_train.py", [
+        "--input_wavs_dir", str(wavs), "--config", str(tmp_path / "config.json"),
+        "--checkpoint_path", str(tmp_path / "cp"), "--training_steps", "2",
+        "--checkpoint_interval", "2", "--stdout_interval", "1", "--num_workers", "1",
+        "--init_g", str(tmp_path / "g_00000100"), "--init_do", str(tmp_path / "do_00000100")],
+        cwd=str(tmp_path), timeout=1500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "generator initialized" in r.stdout and "discriminators initialized" in r.stdout
+    assert '"step": 2' in r.stdout

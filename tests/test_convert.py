@@ -182,3 +182,84 @@ def test_convert_hubert_runs():
     params["kmeans"] = jnp.asarray(np.random.randn(5, 16).astype(np.float32))
     ids = H.wav2units(params, cfg, np.random.randn(400).astype(np.float32))
     assert ids.ndim == 1 and (ids < 5).all()
+
+
+def test_hifigan_discriminator_ckpt_roundtrip():
+    """do_<step> discriminator conversion: the reference torch MPD/MSD
+    (weight_norm everywhere, spectral_norm on MSD[0]) and our folded
+    discriminators must score identically on the same waveforms — the
+    resume-reference-GAN-training contract (hifi-gan/train.py:44-59,
+    :179-190)."""
+    from covomix_tpu.models import vocoder as V
+    from covomix_tpu.train.gan import fold_discriminators
+    from covomix_tpu.util.reference_compat import load_reference_vocoder
+
+    ref_models = load_reference_vocoder()
+    torch.manual_seed(0)
+    mpd_t = ref_models.MultiPeriodDiscriminator()
+    msd_t = ref_models.MultiScaleDiscriminator()
+    # converge the spectral power-iteration buffers like a trained checkpoint
+    # would have: at random init sigma = u^T W v is arbitrary (can be ~0),
+    # making |W/sigma| huge and the comparison numerically chaotic
+    with torch.no_grad():
+        for _ in range(50):
+            msd_t(torch.zeros(1, 1, 64), torch.zeros(1, 1, 64))
+    mpd_t.eval(), msd_t.eval()
+
+    ckpt = {"mpd": mpd_t.state_dict(), "msd": msd_t.state_dict()}
+    mpd_p, msd_p = tc.convert_hifigan_discriminators(ckpt)
+    mpd_f, msd_f = fold_discriminators(
+        jax.tree_util.tree_map(jnp.asarray, mpd_p),
+        jax.tree_util.tree_map(jnp.asarray, msd_p))
+
+    rs = np.random.RandomState(3)
+    y = rs.randn(1, 1600).astype(np.float32) * 0.3
+    y_hat = rs.randn(1, 1600).astype(np.float32) * 0.3
+    with torch.no_grad():
+        yr_t, yg_t, fr_t, fg_t = mpd_t(torch.from_numpy(y[:, None]), torch.from_numpy(y_hat[:, None]))
+        sr_t, sg_t, sfr_t, sfg_t = msd_t(torch.from_numpy(y[:, None]), torch.from_numpy(y_hat[:, None]))
+
+    with jax.default_matmul_precision("highest"):
+        yr, yg, fr, fg = V.mpd(mpd_f, jnp.asarray(y), jnp.asarray(y_hat))
+        sr, sg, sfr, sfg = V.msd(msd_f, jnp.asarray(y), jnp.asarray(y_hat))
+
+    for i in range(5):
+        np.testing.assert_allclose(np.asarray(yr[i]).ravel(), yr_t[i].numpy().ravel(),
+                                   atol=2e-4, err_msg=f"mpd {i} real")
+        np.testing.assert_allclose(np.asarray(yg[i]).ravel(), yg_t[i].numpy().ravel(),
+                                   atol=2e-4, err_msg=f"mpd {i} gen")
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(sr[i]).ravel(), sr_t[i].numpy().ravel(),
+                                   atol=2e-4, err_msg=f"msd {i} real (spectral on 0)")
+        np.testing.assert_allclose(np.asarray(sg[i]).ravel(), sg_t[i].numpy().ravel(),
+                                   atol=2e-4, err_msg=f"msd {i} gen")
+
+
+def test_hifigan_generator_parametrized_conversion():
+    """parametrized=True keeps torch's exact (v, g); folding it reproduces
+    the inference-form conversion bit-for-bit."""
+    from covomix_tpu.train.gan import wn_fold
+    from covomix_tpu.util.reference_compat import load_reference_vocoder
+
+    ref_models = load_reference_vocoder()
+
+    class H:  # AttrDict-alike for the reference Generator ctor
+        num_mels = 80
+        upsample_rates = [5, 4, 4, 2]
+        upsample_kernel_sizes = [8, 8, 4, 4]
+        upsample_initial_channel = 32
+        resblock = "1"
+        resblock_kernel_sizes = [3, 7, 11]
+        resblock_dilation_sizes = [[1, 3, 5]] * 3
+
+    torch.manual_seed(1)
+    gen_t = ref_models.Generator(H())
+    sd = gen_t.state_dict()
+    folded = tc.convert_hifigan_generator(sd, num_ups=4)
+    vg = tc.convert_hifigan_generator(sd, num_ups=4, parametrized=True)
+    refolded = wn_fold(jax.tree_util.tree_map(jnp.asarray, vg))
+    fl, _ = jax.tree_util.tree_flatten(folded)
+    rl, _ = jax.tree_util.tree_flatten(refolded)
+    assert len(fl) == len(rl)
+    for a, b in zip(fl, rl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
