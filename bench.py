@@ -246,6 +246,40 @@ def child():
         wall = (time.time() - t0) / nloop
         return B * mel.shape[1] * voc_cfg.total_upsample / wall
 
+    def train_throughput():
+        """Training step walls at recipe scale (running_command/*.sh shapes;
+        in-jit loop — host dispatches don't pipeline through the tunnel):
+        VoMix acoustic bs8 x 800 frames (flash fwd+bwd kernels) and CoMix T2S
+        bs6 x 1024 two-stream tokens. Returns ms/step for each."""
+        from covomix_tpu.train.loop import TrainConfig, acoustic_loss_fn, init_train_state, make_train_step, t2s_loss_fn
+
+        tcfg = TrainConfig(lr=1e-4)
+        nloop = int(os.environ.get("BENCH_TRAIN_LOOP", 4))
+        out = {}
+        tiny = bool(os.environ.get("BENCH_TINY"))
+        ab, at = (2, 64) if tiny else (8, 800)     # acoustic bs x frames
+        tb, tt = (2, 32) if tiny else (6, 1024)    # t2s bs x tokens
+        for name, cfg_, loss_fn, batch in (
+            ("acoustic", ac_cfg, acoustic_loss_fn(ac_cfg, cond_drop_prob=0.3, dtype=dtype), {
+                "x": jax.random.normal(key, (ab, at, 240), jnp.float32),
+                "phonemes": jax.random.randint(key, (ab, at, 2), 0, 502),
+                "mask": jnp.ones((ab, at), bool)}),
+            ("t2s", t2s_cfg, t2s_loss_fn(t2s_cfg, dtype=dtype), {
+                "text_ids": jax.random.randint(key, (tb, 32 if tiny else 128), 1, 30000),
+                "semantic_ids": jax.random.randint(key, (tb, tt, 2), 0, 501)}),
+        ):
+            params = (A if name == "acoustic" else T).init(jax.random.PRNGKey(5), cfg_)
+            state = init_train_state(params, tcfg)
+            step = make_train_step(loss_fn, tcfg, donate=False)
+            state, m = step(state, batch, jax.random.PRNGKey(6))  # compile
+            float(m["loss"])
+            t0 = time.time()
+            for i in range(nloop):
+                state, m = step(state, batch, jax.random.PRNGKey(7 + i))
+            float(m["loss"])  # host fetch = sync
+            out[f"{name}_train_ms_per_step"] = round((time.time() - t0) / nloop * 1e3, 1)
+        return out
+
     def hubert_throughput():
         """BASELINE config 3: semantic-token extraction rate at reference
         scale (12-layer/768 HuBERT + 500-unit k-means argmin,
@@ -311,6 +345,12 @@ def child():
     except Exception as e:  # noqa: BLE001
         hub_tok = hub_audio = None
         print(f"# hubert throughput failed: {str(e)[:200]}", file=sys.stderr)
+    train_ms = {}
+    if not os.environ.get("BENCH_NO_TRAIN"):
+        try:
+            train_ms = train_throughput()
+        except Exception as e:  # noqa: BLE001
+            print(f"# train throughput failed: {str(e)[:200]}", file=sys.stderr)
 
     # headline = the fused single-program serving path (the production
     # default); fall back to the staged per-stage sum if fused failed
@@ -334,6 +374,7 @@ def child():
     }
     if voc_tp_big is not None:
         out[f"vocoder_samples_per_sec_b{big}"] = round(voc_tp_big)
+    out.update(train_ms)
     b64 = scaling.get("64", {})
     if "rtf" in b64 or "rtf_fused" in b64:
         # BASELINE config 5: 64 concurrent dialogues (fused serving path)
