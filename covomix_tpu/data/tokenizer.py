@@ -116,9 +116,18 @@ class WordPieceTokenizer:
         self.unk_token = unk_token
         self.max_chars = max_chars_per_word
         self.added = {}
+        self._n_appended = 0
         for t in added_tokens or []:
-            if t not in self.vocab:
-                self.added[t] = len(self.vocab) + len(self.added)
+            # added tokens are ALWAYS whole-matched before basic tokenization
+            # (else '[laughter]' splits into '[', 'laughter', ']'); a vocab.txt
+            # that already contains them (an expanded 30528-line file) maps
+            # them to their in-vocab ids instead of appending new ones (HF
+            # add_tokens semantics: only genuinely new tokens extend the vocab)
+            if t in self.vocab:
+                self.added[t] = self.vocab[t]
+            else:
+                self.added[t] = len(self.vocab) + self._n_appended
+                self._n_appended += 1
         self.cls_id = self.vocab.get("[CLS]", 101 if len(words) > 101 else 0)
         self.sep_id = self.vocab.get("[SEP]", 102 if len(words) > 102 else 0)
         self.pad_id = self.vocab.get("[PAD]", 0)
@@ -134,7 +143,7 @@ class WordPieceTokenizer:
 
     @property
     def vocab_size(self) -> int:
-        return len(self.vocab) + len(self.added)
+        return len(self.vocab) + self._n_appended
 
     def _wordpiece(self, word: str) -> List[int]:
         if len(word) > self.max_chars:
@@ -192,6 +201,8 @@ class WordPieceTokenizer:
         tokenizer(texts, padding=True, truncation=True)."""
         import numpy as np
 
+        if not texts:
+            return np.zeros((0, 0), np.int32), np.zeros((0, 0), bool)
         encoded = [self.encode(t, max_length=max_length) for t in texts]
         L = max(len(e) for e in encoded)
         ids = np.full((len(encoded), L), self.pad_id, np.int32)

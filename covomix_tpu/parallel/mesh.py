@@ -26,6 +26,7 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if dp is None:
         dp = n // tp
+    assert dp >= 1, f"tp={tp} exceeds the {n} available devices (dp would be 0)"
     assert dp * tp <= n, f"mesh {dp}x{tp} needs more than the {n} available devices"
     if dp * tp < n:
         # an explicitly smaller mesh runs on a device subset (e.g. train.py
@@ -49,7 +50,9 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
 _TP_RULES = [
     (re.compile(r"(qkv|/q|/kv|ff1|fc1|w1|time_mlp)/w$"), lambda nd: P(*([None] * (nd - 1) + ["tp"]))),
     (re.compile(r"(attn_out|/out|ff2|fc2|w2)/w$"), lambda nd: P(*(["tp"] + [None] * (nd - 1)))),
-    (re.compile(r"(phoneme_emb|text_emb|sem_emb|kmeans)/w?$"), lambda nd: P(*(["tp"] + [None] * (nd - 1)))),
+    (re.compile(r"(phoneme_emb|text_emb|sem_emb)/w$"), lambda nd: P(*(["tp"] + [None] * (nd - 1)))),
+    # hubert's kmeans centroids are a BARE leaf (no /w child): match the path end
+    (re.compile(r"(^|/)kmeans$"), lambda nd: P(*(["tp"] + [None] * (nd - 1)))),
     (re.compile(r"(ff1|fc1|w1|qkv|/q|/kv|time_mlp)/b$"), lambda nd: P("tp")),
 ]
 

@@ -49,13 +49,27 @@ def main():
         padded = ((max_len + BUCKET - 1) // BUCKET) * BUCKET
         batch = np.zeros((len(batch_idx), padded), np.float32)
         for row, i in enumerate(batch_idx):
-            batch[row, : lengths[i]] = wavs[i]
+            L = lengths[i]
+            batch[row, :L] = wavs[i]
+            # reflect the row's own tail into the pad region: the reference's
+            # per-file extraction reflect-pads at the TRUE end, so the last
+            # frames' windows must see the mirrored signal, not batch zeros
+            # (frames whose window crosses L differ otherwise)
+            refl = min(cfg.n_fft, L - 1, padded - L)
+            if refl > 0:
+                batch[row, L : L + refl] = wavs[i][L - 1 - refl : L - 1][::-1]
         mels = np.asarray(mel_spectrogram(jnp.asarray(batch), cfg))
         for row, i in enumerate(batch_idx):
             nf = mel_frames_for_samples(lengths[i], cfg)
-            out_dir = args.save_path or os.path.dirname(files[i])
+            if args.save_path:
+                # mirror the subpath under save_path: a flat dir would let
+                # same-named wavs from different subdirs overwrite each other
+                rel = os.path.relpath(os.path.dirname(files[i]), args.data_path)
+                out_dir = os.path.normpath(os.path.join(args.save_path, rel))
+            else:
+                out_dir = os.path.dirname(files[i])
             os.makedirs(out_dir, exist_ok=True)
-            name = os.path.basename(files[i]).replace(".wav", ".mel.npy")
+            name = os.path.basename(files[i]).rsplit(".wav", 1)[0] + ".mel.npy"
             np.save(os.path.join(out_dir, name), mels[row, :, :nf])
     print("done")
 

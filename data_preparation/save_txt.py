@@ -18,9 +18,17 @@ def main():
                 continue
             rec = json.loads(line)
             wav = rec.get("audio_filepath") or rec.get("audio")
+            if not wav:
+                raise ValueError(f"manifest record without audio_filepath/audio: {rec}")
+            # resolve relative audio paths against the manifest's directory
+            # (a bare 'utt.wav' with no out_dir would otherwise target '/')
+            wav_dir = os.path.dirname(wav) or "."
+            if not os.path.isabs(wav_dir) and not args.out_dir:
+                wav_dir = os.path.join(os.path.dirname(os.path.abspath(args.manifest)), wav_dir)
             text = rec.get("text", "")
-            out = (args.out_dir or os.path.dirname(wav)) + "/" + os.path.basename(wav).replace(".wav", ".txt")
-            os.makedirs(os.path.dirname(out), exist_ok=True)
+            name = os.path.basename(wav).rsplit(".wav", 1)[0] + ".txt"
+            out = os.path.join(args.out_dir or wav_dir, name)
+            os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
             with open(out, "w") as g:
                 g.write(text)
             n += 1

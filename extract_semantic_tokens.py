@@ -57,7 +57,10 @@ def main():
         from covomix_tpu.checkpoint.torch_convert import convert_hubert_ckpt
 
         params = convert_hubert_ckpt(args.hubert_ckpt, args.km_path)
-    if args.km_path and args.hubert_ckpt and args.hubert_ckpt.endswith(".npz"):
+    if args.km_path and not (args.hubert_ckpt and not args.hubert_ckpt.endswith(".npz")):
+        # load the supplied centroids whenever the .pt conversion above didn't
+        # already merge them — previously a --km_path without --hubert_ckpt
+        # was silently dropped, leaving the random k-means in place
         from covomix_tpu.checkpoint.torch_convert import load_kmeans
 
         params["kmeans"] = jnp.asarray(load_kmeans(args.km_path))
@@ -94,7 +97,13 @@ def main():
         ids = np.asarray(fn(params, wav=jnp.asarray(batch), padding_mask=jnp.asarray(mask),
                             valid_samples=jnp.asarray([lengths[i] for i in batch_idx], jnp.int32)))
         for row, i in enumerate(batch_idx):
-            out_dir = args.out_dir or os.path.dirname(files[i])
+            if args.out_dir:
+                # mirror the subpath: flattening would let same-named wavs
+                # from different subdirectories overwrite each other
+                rel = os.path.relpath(os.path.dirname(files[i]), args.data_dir)
+                out_dir = os.path.normpath(os.path.join(args.out_dir, rel))
+            else:
+                out_dir = os.path.dirname(files[i])
             os.makedirs(out_dir, exist_ok=True)
             name = os.path.basename(files[i]).rsplit(".wav", 1)[0] + args.suffix
             codes = ids[row, : frames_valid[row]].astype(str)  # string array, reference format

@@ -396,7 +396,7 @@ def check_hubert(args, npz_path: str, rep: Report):
         rep.add("check/hubert", "FAIL", reason="no k-means centroids in converted params")
         return
     n_units = int(params["kmeans"].shape[0])
-    wavs = _fixture_wavs(args, max_files=1)
+    wavs = _fixture_wavs(args, max_files=1, sr=cfg.sample_rate)
     if wavs:
         wav = wavs[0][1][: cfg.sample_rate * 4]
     else:
@@ -408,7 +408,12 @@ def check_hubert(args, npz_path: str, rep: Report):
             distinct=int(len(np.unique(codes))))
 
 
-def _fixture_wavs(args, max_files: int):
+def _fixture_wavs(args, max_files: int, sr: int = 8000):
+    """Fixture wavs at `sr`. The mel path runs at 8 kHz (covomix config); the
+    HuBERT path MUST request sr=16000 — the tokenizer's conv stack is a
+    16 kHz model (HubertConfig.sample_rate; hop 320 = 20 ms at 16 kHz), and
+    feeding 8 kHz audio would yield a 2x time-compressed semantic prompt
+    misaligned with the mel prompt (review r3)."""
     from covomix_tpu.audio import load_wav
 
     d = os.path.join(args.fixtures, "input_wav")
@@ -417,7 +422,7 @@ def _fixture_wavs(args, max_files: int):
     out = []
     for f in sorted(os.listdir(d))[:max_files]:
         if f.endswith(".wav"):
-            wav, _ = load_wav(os.path.join(d, f), sr=8000)
+            wav, _ = load_wav(os.path.join(d, f), sr=sr)
             out.append((f, wav))
     return out
 
@@ -468,16 +473,22 @@ def run_e2e(args, npz: dict, rep: Report, *, comix: bool):
     # available, else the silence token (prompt prep contract,
     # monologue_generation.py:82-90)
     wavs = _fixture_wavs(args, max_files=1)
+    wavs16 = _fixture_wavs(args, max_files=1, sr=16000)
     if wavs:
         fname, wav = wavs[0]
         wav = wav[: 8000 * 4]
+        wav16 = wavs16[0][1][: 16000 * 4]
     else:
         fname = "synthetic"
-        wav = np.random.RandomState(args.seed).randn(8000 * 2).astype(np.float32) * 0.05
+        rs = np.random.RandomState(args.seed)
+        wav = rs.randn(8000 * 2).astype(np.float32) * 0.05
+        wav16 = np.repeat(wav, 2)
     mel_prompt = np.asarray(mel_spectrogram(jnp.asarray(wav[None]), mel_cfg))[0].T
     if "hubert" in npz:
+        # HuBERT consumes the SAME audio at its own 16 kHz rate so the
+        # 50 Hz token stream lines up 1:1 with the 8 kHz/hop-160 mel frames
         hp = cio.load_params(npz["hubert"])
-        codes = np.asarray(H.wav2units(hp, H.HubertConfig(), wav))
+        codes = np.asarray(H.wav2units(hp, H.HubertConfig(), wav16))
     else:
         codes = np.full((len(mel_prompt),), SILENCE_TOKEN, np.int64)
     n = min(len(codes), len(mel_prompt), 400)
