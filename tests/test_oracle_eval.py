@@ -140,3 +140,30 @@ def test_evaluate_t2s_reports_token_bleu():
                 "semantic_ids": rng.randint(0, 30, (2, 10))}]
     m = E.evaluate_t2s(params, cfg, batches, jax.random.PRNGKey(1), max_length=12)
     assert 0.0 <= m["token_bleu"] <= 100.0
+
+
+def test_evaluate_acoustic_per_row_lengths_and_mode():
+    """review-r3 regressions for the checkpoint-selection metric:
+    (1) bucket padding (-15 rows) must not enter the score — a padded batch
+    scores the same as the exact-length batch; (2) two-stream modes use the
+    50% first-half-prompt protocol (cond kept on the FIRST half)."""
+    params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(4), TINY)
+    rs = np.random.RandomState(1)
+    x = rs.randn(1, 48, 80).astype(np.float32)
+    ph = np.zeros((1, 48), np.int32)
+    key = jax.random.PRNGKey(9)
+    exact = E.evaluate_acoustic(params, TINY, [{"x": x, "phonemes": ph}], key, cond_scale=1.0)
+    xp = np.full((1, 64, 80), -15.0, np.float32)
+    xp[:, :48] = x
+    php = np.full((1, 64), 501, np.int32)
+    php[:, :48] = ph
+    padded = E.evaluate_acoustic(params, TINY, [{"x": xp, "phonemes": php}], key, cond_scale=1.0)
+    np.testing.assert_allclose(padded["l2"], exact["l2"], rtol=1e-4)
+
+    # two_one: runs with the 160-d cond split and 50% protocol
+    params2 = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(5), TINY_MIX)
+    x2 = rs.randn(1, 48, 240).astype(np.float32)
+    ph2 = np.zeros((1, 48, 2), np.int32)
+    out2 = E.evaluate_acoustic(params2, TINY_MIX, [{"x": x2, "phonemes": ph2}],
+                               key, cond_scale=1.0)
+    assert np.isfinite(out2["l2"])
