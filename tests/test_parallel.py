@@ -127,3 +127,20 @@ def test_grad_accum_sharded_matches_unsharded():
     np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(s0.params), jax.tree_util.tree_leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
+def test_make_mesh_rejects_tp_over_devices():
+    with pytest.raises(AssertionError, match="tp=999"):
+        make_mesh(tp=999)
+
+
+def test_tp_rules_shard_bare_kmeans_leaf():
+    """hubert stores kmeans as a bare top-level leaf (no /w child); the TP
+    rule must match it (review r3: the old regex required a trailing '/')."""
+    from covomix_tpu.parallel.mesh import param_shardings
+
+    mesh = make_mesh(dp=4, tp=2)
+    tree = {"kmeans": np.zeros((500, 768), np.float32),
+            "layers": [{"qkv": {"w": np.zeros((8, 24), np.float32)}}]}
+    sh = param_shardings(mesh, tree, tp=True, fsdp=False)
+    assert "tp" in str(sh["kmeans"].spec)

@@ -251,3 +251,23 @@ def test_spectral_norm_matches_torch():
     w_eff = conv.weight.detach().numpy()             # [O, I, K] = w_orig / sigma
     ours = np.asarray(G.sn_fold(node)["w"]).transpose(2, 1, 0)
     np.testing.assert_allclose(ours, w_eff, atol=1e-5)
+
+
+def test_gan_state_checkpoint_roundtrip_with_spectral_buffers(tmp_path):
+    """GanState (incl. MSD[0]'s spectral u/v buffers) survives the orbax
+    save/load cycle — the auto-resume path for GAN training."""
+    from covomix_tpu.audio.mel import MelConfig
+    from covomix_tpu.checkpoint import io as cio
+    from covomix_tpu.models import vocoder as V
+    from covomix_tpu.train.gan import GanConfig, init_gan_state
+
+    voc_cfg = V.VocoderConfig(upsample_initial_channel=16)
+    state = init_gan_state(jax.random.PRNGKey(0), voc_cfg, GanConfig(segment_size=1600))
+    cio.save_train_state(str(tmp_path), jax.device_get(state), 7)
+    loaded = cio.load_train_state(str(tmp_path), 7, state)
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the spectral buffers are present on MSD[0] and absent on MSD[1]
+    d0 = loaded.msd_params["discriminators"][0]["convs"][0]
+    d1 = loaded.msd_params["discriminators"][1]["convs"][0]
+    assert "u" in d0 and "v" in d0 and "u" not in d1 and "g" in d1
