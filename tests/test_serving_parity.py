@@ -212,3 +212,20 @@ def test_fused_matches_staged_single_stream():
     wav_s, gen_s = staged(key, text_ids, prompt_tok, prompt_mel, prompt_lens=PROMPT_LENS)
     np.testing.assert_array_equal(np.asarray(gen_f.tokens), np.asarray(gen_s.tokens))
     assert np.abs(np.asarray(wav_f) - np.asarray(wav_s)).max() < 1e-4
+
+
+def test_fused_min_length_forces_full_decode():
+    """min_length == decode_len masks EOS for every step (serving min-duration
+    control; also how bench.py keeps random-weight decodes honest)."""
+    t2s_params = jax.jit(T.init, static_argnums=1)(jax.random.PRNGKey(0), T2S_CFG)
+    ac_params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(1), AC_CFG)
+    voc_params = jax.jit(V.init_generator, static_argnums=1)(jax.random.PRNGKey(2), VOC_CFG)
+    pipe = BatchedPipeline(t2s_params, T2S_CFG, ac_params, AC_CFG, voc_params, VOC_CFG,
+                           decode_len=L, dtype=jnp.float32, min_length=L)
+    rs = np.random.RandomState(5)
+    wav, gen = pipe(jax.random.PRNGKey(3), rs.randint(1, 200, (B, 6)),
+                    rs.randint(0, 500, (B, PMAX)).astype(np.int32),
+                    rs.randn(B, PMAX, 160).astype(np.float32) * 0.1,
+                    prompt_lens=PROMPT_LENS)
+    assert int(np.asarray(gen.num_steps)) == L
+    assert (np.asarray(gen.lengths) == L).all()
