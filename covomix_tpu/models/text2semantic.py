@@ -145,6 +145,13 @@ def init(key, cfg: T2SConfig):
             "norm": L.rmsnorm_init(cfg.target_dim),
             "to_logits": L.linear_init(jax.random.fold_in(k, 1), cfg.target_dim, cfg.num_semantic_tokens + 1, bias=False),
         }
+        if cfg.two_output:
+            # CoMix extension (no reference counterpart — the reference's
+            # early-exit CE vs a [B,T,2] target would not even run,
+            # text2semantic.py:1037-1046): a second full-width head drafts
+            # stream 2 so speculative decoding covers dual-stream dialogue.
+            p["early_exit"]["to_logits2"] = L.linear_init(
+                jax.random.fold_in(k, 2), cfg.target_dim, cfg.num_semantic_tokens + 1, bias=False)
     return p
 
 
@@ -326,8 +333,14 @@ def forward_loss(
             early = jax.lax.stop_gradient(early)
         ee = params["early_exit"]
         h = early + _ff(ee["ff"], early)
-        ee_logits = L.linear(ee["to_logits"], L.rmsnorm(ee["norm"], h)).astype(jnp.float32)
+        hn = L.rmsnorm(ee["norm"], h)
+        ee_logits = L.linear(ee["to_logits"], hn).astype(jnp.float32)
         loss = loss + ce(ee_logits, t1)
+        if cfg.two_output and "to_logits2" in ee:
+            # train the stream-2 draft head too (framework extension; the
+            # reference's single-head CE is stream-1-only and would crash on
+            # a two-stream target, text2semantic.py:1037-1046)
+            loss = loss + ce(L.linear(ee["to_logits2"], hn).astype(jnp.float32), t2)
 
     if return_logits:
         if cfg.two_output:
@@ -566,14 +579,28 @@ def generate_speculative(
     gamma: int = 4,
     dtype=jnp.float32,
 ) -> GenerateResult:
-    """Greedy speculative decode (single-output models with an early-exit head).
+    """Greedy speculative decode via the early-exit head (single-stream AND
+    CoMix two_output dual-stream).
 
-    Requires cfg.target_early_exit_layer > 0 and params['early_exit'].
-    Output equals greedy `generate` exactly (argmax draft, argmax verify,
-    accept-on-match); throughput gain scales with draft acceptance, i.e. with
-    how well the early-exit head was trained (detach_early_exit_embed etc.)."""
-    assert not cfg.two_output and not cfg.two_input, "speculative decode: single-stream only"
+    Requires cfg.target_early_exit_layer > 0 and params['early_exit'] (plus
+    its 'to_logits2' second draft head for two_output — a framework extension;
+    reference checkpoints carry only the stream-1 head, text2semantic.py:
+    603-615). Output equals greedy `generate` exactly: argmax drafts from
+    decoder layers 1..E + the early-exit head, ONE full-depth forward verifies
+    all gamma drafts, the longest matching prefix plus the full model's bonus
+    token is accepted. For two_output, both streams draft from the shared
+    early trunk and a position is accepted only when BOTH streams match
+    (joint-lossless — stream 2's continuation depends on stream 1's tokens
+    through the concatenated embedding, so per-stream acceptance would not be
+    exact). Throughput gain scales with draft acceptance, i.e. with how well
+    the early-exit head was trained (detach_early_exit_embed etc.)."""
+    assert not cfg.two_input, "speculative decode: two_input not supported"
     assert cfg.target_early_exit_layer > 0 and "early_exit" in params, "needs the early-exit head"
+    two = cfg.two_output
+    if two:
+        assert "to_logits2" in params["early_exit"], \
+            "two_output speculative decode needs the stream-2 draft head " \
+            "(train with this framework; reference checkpoints carry only stream 1)"
     b = source_ids.shape[0]
     heads, depth, dh = cfg.heads, cfg.target_depth, cfg.dim_head
     early = cfg.target_early_exit_layer
@@ -588,9 +615,17 @@ def generate_speculative(
 
     cache_k = jnp.zeros((depth, b, heads, CL, dh), dtype)
     cache_v = jnp.zeros((depth, b, heads, CL, dh), dtype)
-    tokens = jnp.full((b, CL), pad, jnp.int32)
-    lens = jnp.zeros((b,), jnp.int32)     # tokens accepted per row
-    done = jnp.zeros((b,), bool)
+    tokens1 = jnp.full((b, CL), pad, jnp.int32)
+    tokens2 = jnp.full((b, CL), pad, jnp.int32)
+    lens = jnp.zeros((b,), jnp.int32)      # positions accepted per row
+    done1 = jnp.zeros((b,), bool)          # stream EOS flags (EOS-only, like generate)
+    done2 = jnp.zeros((b,), bool)
+    # first-EOS position per row/stream (CL = "none yet"); needed to
+    # reconstruct generate's GLOBAL stop step I = min over streams of
+    # (max over rows of first-EOS) + 1 — rows that never EOS'd by I are
+    # truncated there, exactly like the global while_loop does.
+    p1 = jnp.full((b,), CL, jnp.int32)
+    p2 = jnp.full((b,), CL, jnp.int32)
 
     pos_idx = jnp.arange(CL)
 
@@ -608,9 +643,9 @@ def generate_speculative(
         att = L.attend(q, ck, cv, key_mask=kmask)
         return L.linear(lp["self_attn"]["out"], L.merge_heads(att)) + x, ck, cv
 
-    def draft_one(tok_prev, pos_b, cache_k, cache_v):
-        """Draft layers 1..E + early-exit head. Returns (token, caches)."""
-        e = L.embedding(params["sem_emb"], jnp.clip(tok_prev, 0, cfg.num_semantic_tokens), dtype)
+    def draft_one(prev1, prev2, pos_b, cache_k, cache_v):
+        """Draft layers 1..E + early-exit head(s). Returns (tok1, tok2, caches)."""
+        e = _embed_target(params, cfg, prev1, prev2, dtype)  # [b, tdim]
         x = jnp.where((pos_b == 0)[:, None], params["start_speech"].astype(dtype)[None, :], e)[:, None, :]
         new_k, new_v = cache_k, cache_v
         for li in range(early):
@@ -621,17 +656,25 @@ def generate_speculative(
             x = _cross_attn(lp["cross_attn"], x, cross_kvs[li], heads, context_mask=source_mask) + x
             x = _ff(lp["ff"], x) + x
         ee = params["early_exit"]
-        hh = x + _ff(ee["ff"], x)
-        logits = L.linear(ee["to_logits"], L.rmsnorm(ee["norm"], hh)).astype(jnp.float32)[:, 0]
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_k, new_v
+        hn = L.rmsnorm(ee["norm"], x + _ff(ee["ff"], x))
+        l1 = L.linear(ee["to_logits"], hn).astype(jnp.float32)[:, 0]
+        t1 = jnp.argmax(l1, axis=-1).astype(jnp.int32)
+        if two:
+            l2 = L.linear(ee["to_logits2"], hn).astype(jnp.float32)[:, 0]
+            t2 = jnp.argmax(l2, axis=-1).astype(jnp.int32)
+        else:
+            t2 = t1
+        return t1, t2, new_k, new_v
 
-    def verify(drafts, lens, tokens, cache_k, cache_v):
+    def verify(drafts1, drafts2, lens, tokens1, tokens2, cache_k, cache_v):
         """Full-depth forward over gamma+1 per-row positions lens..lens+gamma.
         Input tokens at those positions: [token[lens-1], drafts...]."""
         span = gamma + 1
-        prev = jax.vmap(lambda t, l: t[jnp.maximum(l - 1, 0)])(tokens, lens)
-        in_toks = jnp.concatenate([prev[:, None], drafts], axis=1)  # [B, span]
-        e = L.embedding(params["sem_emb"], jnp.clip(in_toks, 0, cfg.num_semantic_tokens), dtype)
+        prev1 = jax.vmap(lambda t, l: t[jnp.maximum(l - 1, 0)])(tokens1, lens)
+        prev2 = jax.vmap(lambda t, l: t[jnp.maximum(l - 1, 0)])(tokens2, lens)
+        in1 = jnp.concatenate([prev1[:, None], drafts1], axis=1)  # [B, span]
+        in2 = jnp.concatenate([prev2[:, None], drafts2], axis=1)
+        e = _embed_target(params, cfg, in1, in2, dtype)           # [B, span, tdim]
         start = jnp.broadcast_to(params["start_speech"].astype(dtype), (b, cfg.target_dim))
         e = e.at[:, 0].set(jnp.where((lens == 0)[:, None], start, e[:, 0]))
         x = e
@@ -659,56 +702,95 @@ def generate_speculative(
             x = _cross_attn(lp["cross_attn"], x, cross_kvs[li], heads, context_mask=source_mask) + x
             x = _ff(lp["ff"], x) + x
         x = L.rmsnorm(params["target_final_norm"], x)
-        logits = _sem_logits(params, x, dtype)                              # [B, span, V+1]
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_k, new_v  # greedy full tokens
+        if two:
+            half = cfg.target_dim // 2
+            f1 = jnp.argmax(_sem_logits(params, x[..., :half], dtype), axis=-1).astype(jnp.int32)
+            f2 = jnp.argmax(_sem_logits(params, x[..., half:], dtype), axis=-1).astype(jnp.int32)
+        else:
+            f1 = jnp.argmax(_sem_logits(params, x, dtype), axis=-1).astype(jnp.int32)
+            f2 = f1
+        return f1, f2, new_k, new_v  # greedy full-model tokens [B, span]
 
     def cond_fn(state):
-        tokens, lens, done, _, _, it = state
-        active = (~done) & (lens < max_length)
+        _, _, lens, done1, done2, _, _, _, _, it = state
+        # a row is live until BOTH its streams EOS'd (generate keeps decoding
+        # both streams until the GLOBAL stop; the global truncation at I is
+        # reconstructed after the loop)
+        active = ~(done1 & done2) & (lens < max_length)
         return jnp.any(active) & (it < max_length)
 
     def body_fn(state):
-        tokens, lens, done, cache_k, cache_v, it = state
-        # ---- draft gamma tokens sequentially with the early model
-        drafts = jnp.zeros((b, gamma), jnp.int32)
+        tokens1, tokens2, lens, done1, done2, p1, p2, cache_k, cache_v, it = state
+        # ---- draft gamma token (pairs) sequentially with the early model
+        drafts1 = jnp.zeros((b, gamma), jnp.int32)
+        drafts2 = jnp.zeros((b, gamma), jnp.int32)
         dk, dv = cache_k, cache_v
-        prev = jax.vmap(lambda t, l: t[jnp.maximum(l - 1, 0)])(tokens, lens)
+        prev1 = jax.vmap(lambda t, l: t[jnp.maximum(l - 1, 0)])(tokens1, lens)
+        prev2 = jax.vmap(lambda t, l: t[jnp.maximum(l - 1, 0)])(tokens2, lens)
         for j in range(gamma):
-            tok_j, dk, dv = draft_one(prev, lens + j, dk, dv)
-            drafts = drafts.at[:, j].set(tok_j)
-            prev = tok_j
+            t1_j, t2_j, dk, dv = draft_one(prev1, prev2, lens + j, dk, dv)
+            drafts1 = drafts1.at[:, j].set(t1_j)
+            drafts2 = drafts2.at[:, j].set(t2_j)
+            prev1, prev2 = t1_j, t2_j
         # ---- verify with the full model (overwrites layer caches cleanly)
-        full, cache_k, cache_v = verify(drafts, lens, tokens, cache_k, cache_v)
-        # ---- accept longest matching prefix + bonus
-        match = drafts == full[:, :gamma]                                   # [B, gamma]
+        full1, full2, cache_k, cache_v = verify(
+            drafts1, drafts2, lens, tokens1, tokens2, cache_k, cache_v)
+        # ---- accept longest JOINTLY matching prefix + bonus pair
+        match = drafts1 == full1[:, :gamma]
+        if two:
+            match = match & (drafts2 == full2[:, :gamma])
         n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
-        bonus = jax.vmap(lambda f, n: f[n])(full, n_acc)                    # [B]
-        # write accepted drafts + bonus into the token buffer at per-row lens
-        out_span = jnp.concatenate([drafts, jnp.zeros((b, 1), jnp.int32)], axis=1)
-        out_span = jax.vmap(lambda row, n, bo: row.at[n].set(bo))(out_span, n_acc, bonus)
+        active = ~(done1 & done2) & (lens < max_length)
         take = jnp.arange(gamma + 1)[None, :] <= n_acc[:, None]             # [B, gamma+1]
-        take = take & ((~done) & (lens < max_length))[:, None]
-        cur = jax.vmap(lambda t, l: jax.lax.dynamic_slice(t, (l,), (gamma + 1,)))(tokens, jnp.minimum(lens, CL - gamma - 1))
-        new_span = jnp.where(take, out_span, cur)
-        tokens = jax.vmap(lambda t, s, l: jax.lax.dynamic_update_slice(t, s, (l,)))(tokens, new_span, jnp.minimum(lens, CL - gamma - 1))
-        n_new = jnp.where(done | (lens >= max_length), 0, n_acc + 1)
-        # EOS inside the newly accepted span?
-        hit_eos = jnp.any((new_span == eos) & take, axis=1)
-        lens = jnp.minimum(lens + n_new, max_length)
-        done = done | hit_eos
-        return (tokens, lens, done, cache_k, cache_v, it + 1)
+        take = take & active[:, None]
+        starts = jnp.minimum(lens, CL - gamma - 1)
 
-    state = (tokens, lens, done, cache_k, cache_v, jnp.int32(0))
-    tokens, lens, done, _, _, iters = jax.lax.while_loop(cond_fn, body_fn, state)
+        def write_stream(tokens, drafts, full):
+            bonus = jax.vmap(lambda f, n: f[n])(full, n_acc)                # [B]
+            out_span = jnp.concatenate([drafts, jnp.zeros((b, 1), jnp.int32)], axis=1)
+            out_span = jax.vmap(lambda row, n, bo: row.at[n].set(bo))(out_span, n_acc, bonus)
+            cur = jax.vmap(lambda t, l: jax.lax.dynamic_slice(t, (l,), (gamma + 1,)))(tokens, starts)
+            new_span = jnp.where(take, out_span, cur)
+            tokens = jax.vmap(lambda t, s, l: jax.lax.dynamic_update_slice(t, s, (l,)))(tokens, new_span, starts)
+            return tokens, new_span
 
-    valid = pos_idx[None, :] < lens[:, None]
-    tokens = jnp.where(valid, tokens, pad)
-    tokens = tokens[:, :max_length]
-    stopped = jnp.all(done)
-    masked = S.mask_after_eos(tokens, eos, pad)
-    tokens = jnp.where(stopped, masked, tokens)
-    out_len = jnp.sum(tokens != pad, axis=-1)
-    return GenerateResult(tokens, tokens, out_len, out_len, iters)
+        tokens1, span1 = write_stream(tokens1, drafts1, full1)
+        if two:
+            tokens2, span2 = write_stream(tokens2, drafts2, full2)
+        else:
+            tokens2, span2 = tokens1, span1
+
+        def first_eos(span, done, p):
+            hit = (span == eos) & take                                       # [B, gamma+1]
+            any_hit = jnp.any(hit, axis=1) & ~done
+            first = jnp.argmax(hit, axis=1).astype(jnp.int32)                # first True
+            return done | jnp.any(hit, axis=1), jnp.where(any_hit, lens + first, p)
+
+        done1, p1 = first_eos(span1, done1, p1)
+        done2, p2 = (first_eos(span2, done2, p2) if two else (done1, p1))
+        lens = jnp.minimum(lens + jnp.where(active, n_acc + 1, 0), max_length)
+        return (tokens1, tokens2, lens, done1, done2, p1, p2, cache_k, cache_v, it + 1)
+
+    state = (tokens1, tokens2, lens, done1, done2, p1, p2, cache_k, cache_v, jnp.int32(0))
+    tokens1, tokens2, lens, done1, done2, p1, p2, _, _, iters = \
+        jax.lax.while_loop(cond_fn, body_fn, state)
+
+    # reconstruct generate's global stop: it halts after the step where ALL
+    # rows EOS'd on stream 1 OR all rows EOS'd on stream 2, so positions
+    # >= I = min(max_r p1, max_r p2) + 1 were never decoded there
+    i1 = jnp.where(jnp.all(done1), jnp.max(p1) + 1, max_length)
+    i2 = jnp.where(jnp.all(done2), jnp.max(p2) + 1, max_length) if two else i1
+    stop_i = jnp.minimum(jnp.minimum(i1, i2), max_length)
+    valid = pos_idx[None, :] < stop_i
+    tokens1 = jnp.where(valid, tokens1, pad)[:, :max_length]
+    tokens2 = jnp.where(valid, tokens2, pad)[:, :max_length]
+    stopped = jnp.all(done1) | (jnp.all(done2) if two else False)
+    # generate only masks after EOS when the loop broke (text2semantic.py:814-826)
+    tokens1 = jnp.where(stopped, S.mask_after_eos(tokens1, eos, pad), tokens1)
+    tokens2 = jnp.where(stopped, S.mask_after_eos(tokens2, eos, pad), tokens2)
+    len1 = jnp.sum(tokens1 != pad, axis=-1)
+    len2 = jnp.sum(tokens2 != pad, axis=-1)
+    return GenerateResult(tokens1, tokens2, len1, len2, iters)
 
 
 # ---------------------------------------------------------------------------

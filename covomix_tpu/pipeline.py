@@ -73,16 +73,22 @@ class Synthesizer:
     fuse_tail: bool = False
     # True: greedy self-speculative T2S decode (generate_speculative — the
     # early-exit head drafts, the full depth verifies; output equals greedy
-    # generate exactly). Requires a single-stream checkpoint trained with
-    # target_early_exit_layer > 0; the released reference checkpoints have no
-    # such head, so this is opt-in.
+    # generate exactly). Requires a checkpoint trained with
+    # target_early_exit_layer > 0 (two_output additionally needs the stream-2
+    # draft head this framework trains alongside); the released reference
+    # checkpoints have no such head, so this is opt-in.
     speculative: bool = False
 
     def __post_init__(self):
         if self.speculative:
-            if self.t2s_cfg.two_output or self.t2s_cfg.target_early_exit_layer <= 0:
-                raise ValueError("--speculative needs a single-stream T2S checkpoint "
+            if self.t2s_cfg.target_early_exit_layer <= 0:
+                raise ValueError("--speculative needs a T2S checkpoint trained "
                                  "with an early-exit head (target_early_exit_layer > 0)")
+            if self.t2s_cfg.two_output and "to_logits2" not in self.t2s_params.get("early_exit", {}):
+                raise ValueError("--speculative on a two-stream (CoMix) checkpoint needs "
+                                 "the stream-2 draft head ('early_exit/to_logits2', trained "
+                                 "by this framework); reference checkpoints carry only the "
+                                 "stream-1 head")
             spec = jax.jit(functools.partial(
                 T.generate_speculative, cfg=self.t2s_cfg,
                 max_length=self.t2s_max_length, dtype=self.dtype))

@@ -35,8 +35,9 @@ def main():
     parser.add_argument("--fuse_tail", action="store_true",
                         help="vocode with the fused Pallas tail kernel (tail approximation)")
     parser.add_argument("--speculative", action="store_true",
-                        help="greedy self-speculative T2S decode (needs a single-stream "
-                             "checkpoint trained with an early-exit head)")
+                        help="greedy self-speculative T2S decode (needs a checkpoint trained "
+                             "with an early-exit head; CoMix two-stream needs this "
+                             "framework's stream-2 draft head)")
     parser.add_argument("--bf16", action="store_true", help="force bfloat16 compute (default on TPU)")
     parser.add_argument("--f32", action="store_true", help="force float32 compute")
     args = parser.parse_args()

@@ -82,3 +82,28 @@ def test_fixture_copy_synthesis_plausible():
         assert 3.5 <= score <= 4.5, (name, score)
         pairs += 1
     assert pairs >= 2
+
+
+# Pinned goldens (VERDICT r3 item 7): pesq_nb_approx values on the reference
+# hifigan_test fixture pairs, frozen so refactors cannot silently shift the
+# metric's scale. These are values of THIS implementation (deviation list in
+# util/pesq_nb.py's docstring), NOT ITU P.862 conformance numbers — the ITU
+# binary is unavailable offline. If a deliberate algorithm change moves them,
+# re-pin and record the shift in PARITY.md.
+_PINNED = {
+    "908-31957-0024_5142-36586-0004.wav": 4.246163,
+    "908-31957-0024_5683-32865-0017.wav": 4.229922,
+}
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+def test_fixture_scores_pinned():
+    from covomix_tpu.audio.wav import load_wav
+
+    gen_dir = os.path.join(REFERENCE, "hifi-gan/hifigan_test/output_wav_12k")
+    ref_dir = os.path.join(REFERENCE, "hifi-gan/hifigan_test/input_wav")
+    for name, expected in _PINNED.items():
+        g, sr = load_wav(os.path.join(gen_dir, name.replace(".wav", "_generated.wav")))
+        r, _ = load_wav(os.path.join(ref_dir, name))
+        n = min(len(g), len(r))
+        assert pesq_nb(r[:n], g[:n], sr) == pytest.approx(expected, abs=2e-4), name

@@ -84,3 +84,60 @@ def test_synthesizer_speculative_wiring(params):
 
     with pytest.raises(ValueError):
         Synthesizer(speculative=True, **{**kw, "t2s_cfg": dc.replace(CFG, target_early_exit_layer=0)})
+
+
+# ---------------------------------------------------------------------------
+# CoMix dual-stream (two_output) speculative decode — VERDICT r3 item 6
+
+
+CFG2 = T.T2SConfig(dim=48, source_depth=1, target_depth=2, heads=2, dim_head=16,
+                   num_text_tokens=40, num_semantic_tokens=12, target_dim=64,
+                   two_output=True, target_early_exit_layer=1)
+
+
+@pytest.fixture(scope="module")
+def params2():
+    p = jax.jit(T.init, static_argnums=1)(jax.random.PRNGKey(3), CFG2)
+    p = dict(p)
+    p["sem_emb"] = {"w": p["sem_emb"]["w"] * 0.3}
+    return p
+
+
+def _greedy_reference2(params, src, max_length):
+    gen = jax.jit(functools.partial(T.generate, cfg=CFG2, max_length=max_length,
+                                    temperature=1e-10, top_k_thres=1.0))(
+        params, key=jax.random.PRNGKey(99), source_ids=src)
+    return np.asarray(gen.tokens), np.asarray(gen.tokens2)
+
+
+@pytest.mark.parametrize("gamma", [1, 3])
+def test_two_output_speculative_equals_greedy(params2, gamma):
+    """Both streams of the CoMix dual-stream speculative decode equal greedy
+    `generate` exactly (joint acceptance: a draft position is accepted only
+    when BOTH streams match — stream 2's continuation depends on stream 1
+    through the concatenated embedding)."""
+    src = jax.random.randint(jax.random.PRNGKey(4), (3, 5), 1, 40)
+    max_length = 14
+    ref1, ref2 = _greedy_reference2(params2, src, max_length)
+    spec = jax.jit(functools.partial(T.generate_speculative, cfg=CFG2,
+                                     max_length=max_length, gamma=gamma))(params2, source_ids=src)
+    np.testing.assert_array_equal(np.asarray(spec.tokens), ref1)
+    np.testing.assert_array_equal(np.asarray(spec.tokens2), ref2)
+
+
+def test_two_output_speculative_requires_second_head(params2):
+    p = dict(params2)
+    p["early_exit"] = {k: v for k, v in p["early_exit"].items() if k != "to_logits2"}
+    with pytest.raises(AssertionError, match="stream-2"):
+        T.generate_speculative(p, CFG2, jnp.ones((1, 4), jnp.int32), max_length=8)
+
+
+def test_two_output_early_exit_loss_trains_second_head(params2):
+    """forward_loss with two_output + early exit puts gradient on BOTH draft
+    heads (framework extension; the reference's single-head CE is
+    stream-1-only, text2semantic.py:1037-1046)."""
+    src = jax.random.randint(jax.random.PRNGKey(5), (2, 5), 1, 40)
+    tgt = jax.random.randint(jax.random.PRNGKey(6), (2, 7, 2), 0, 12)
+    g = jax.grad(lambda p: T.forward_loss(p, CFG2, src, tgt))(params2)
+    assert float(jnp.abs(g["early_exit"]["to_logits"]["w"]).sum()) > 0
+    assert float(jnp.abs(g["early_exit"]["to_logits2"]["w"]).sum()) > 0
