@@ -69,43 +69,58 @@ def bench_cfg(bq, bk, hb):
         return 0.0
 
 
-print("== isolated kernel sweep (B=8 H=16 T=912 dh=64 bf16) ==", flush=True)
-results = {}
-for cfg in [(1024, 512, 2), (512, 512, 2), (512, 512, 4), (512, 256, 4), (512, 256, 8),
-            (1024, 256, 2), (1024, 256, 4), (512, 128, 8), (256, 256, 8), (256, 512, 4)]:
-    results[cfg] = retry(lambda c=cfg: bench_cfg(*c), f"cfg {cfg}")
+if "--flow-only" in sys.argv:
+    # isolated sweep already captured (2026-08-18: best (512,512,4) at
+    # 20.3 TFLOP/s vs default (1024,512,2) 18.4 same-day; hb=8 and
+    # (1024,256,4) overflow scoped VMEM and fail to compile)
+    best_cfg = (512, 512, 4)
+else:
+    print("== isolated kernel sweep (B=8 H=16 T=912 dh=64 bf16) ==", flush=True)
+    results = {}
+    for cfg in [(1024, 512, 2), (512, 512, 2), (512, 512, 4), (512, 256, 4), (512, 256, 8),
+                (1024, 256, 2), (1024, 256, 4), (512, 128, 8), (256, 256, 8), (256, 512, 4)]:
+        results[cfg] = retry(lambda c=cfg: bench_cfg(*c), f"cfg {cfg}")
 
-best_cfg = max(results, key=results.get)
-print(f"best: {best_cfg} at {results[best_cfg]:.1f} TFLOP/s", flush=True)
+    best_cfg = max(results, key=results.get)
+    print(f"best: {best_cfg} at {results[best_cfg]:.1f} TFLOP/s", flush=True)
 
 # --- full flow stage A/B: current defaults vs best config
 from covomix_tpu.models import acoustic as A
 
+print(f"platform={jax.devices()[0].platform} kind={jax.devices()[0].device_kind}",
+      flush=True)
+
 ac_cfg = A.AcousticConfig(dim_in=160, dim=1024, depth=8, heads=16, dim_head=64,
                           num_phoneme_tokens=502, mode="two_one")
 params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(1), ac_cfg)
-ph = jax.random.randint(key, (4, T, 2), 0, 502)
-cond = jax.random.normal(key, (4, T, 160), jnp.float32)
 
-def flow_wall(tag):
+def flow_wall(tag, B=4):
+    ph = jax.random.randint(key, (B, T, 2), 0, 502)
+    cond = jax.random.normal(key, (B, T, 160), jnp.float32)
     fn = jax.jit(functools.partial(A.sample, cfg=ac_cfg, cond_scale=0.7, dtype=dtype))
-    r = fn(params, jax.random.PRNGKey(2), ph, cond)
+    r = fn(params, key=jax.random.PRNGKey(2), phoneme_ids=ph, cond=cond)
     float(jnp.float32(r[0, 0, 0]))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        r = fn(params, jax.random.PRNGKey(3), ph, cond)
+        r = fn(params, key=jax.random.PRNGKey(3), phoneme_ids=ph, cond=cond)
         float(jnp.float32(r[0, 0, 0]))
         best = min(best, time.perf_counter() - t0)
-    print(f"flow stage ({tag}): {best:.3f} s", flush=True)
+    print(f"flow stage B={B} ({tag}): {best:.3f} s", flush=True)
     return best
 
-w0 = retry(lambda: flow_wall(f"defaults {FA.DEFAULT_BLOCK_Q}/{FA.DEFAULT_BLOCK_K}/hb{FA.DEFAULT_HEAD_BLOCK}"), "flow default")
-# flash_attention's defaults bind at def time; patch the module global that
-# attend_flash_or_xla resolves at call time
+# A/B at the bench headline (B=4) AND at B=16, where flow MFU drops from
+# 0.42 to 0.35 (BENCH_LAST_GOOD batch_scaling) — checks whether the
+# degradation tracks the attention kernel or the surrounding matmuls
 _orig = FA.flash_attention
-FA.flash_attention = functools.partial(_orig, block_q=best_cfg[0], block_k=best_cfg[1],
-                                       head_block=best_cfg[2])
-w1 = retry(lambda: flow_wall(f"best {best_cfg}"), "flow best")
-FA.flash_attention = _orig
-print(f"flow delta: {w0:.3f} -> {w1:.3f} s ({(w0-w1)/w0*100:.1f}%)", flush=True)
+for B in (4, 16):
+    w0 = retry(lambda B=B: flow_wall(
+        f"defaults {FA.DEFAULT_BLOCK_Q}/{FA.DEFAULT_BLOCK_K}/hb{FA.DEFAULT_HEAD_BLOCK}", B),
+        "flow default")
+    # flash_attention's defaults bind at call sites through the module global;
+    # patch it so attend_flash_or_xla picks up the candidate config
+    FA.flash_attention = functools.partial(_orig, block_q=best_cfg[0], block_k=best_cfg[1],
+                                           head_block=best_cfg[2])
+    w1 = retry(lambda B=B: flow_wall(f"best {best_cfg}", B), "flow best")
+    FA.flash_attention = _orig
+    print(f"flow delta B={B}: {w0:.3f} -> {w1:.3f} s ({(w0-w1)/w0*100:.1f}%)", flush=True)
