@@ -144,7 +144,7 @@ def layer_core(lp, cfg: AcousticConfig, x, time_emb, key_mask=None, valid_len=No
         attn = attend_fn(q, k, v)
     x = L.linear(lp["attn_out"], L.merge_heads(attn)) + x
     h = L.adaptive_rmsnorm(lp["ff_norm"], x, time_emb)
-    h = L.linear(lp["ff2"], jax.nn.gelu(L.linear(lp["ff1"], h), approximate=False))
+    h = L.linear(lp["ff2"], L.gelu(L.linear(lp["ff1"], h)))
     return h + x
 
 
@@ -179,7 +179,7 @@ def embed_inputs(
     emb = static_embed(params, cfg, phoneme_ids, cond, cond_drop_mask=cond_drop_mask, dtype=dtype)
     h = x @ params["to_embed"]["w"].astype(dtype)[: cfg.mel_dim] + emb
     conv_in = h if key_mask is None else h * key_mask[..., None].astype(dtype)
-    conv = jax.nn.gelu(L.conv1d(params["conv_embed"], conv_in, padding=cfg.conv_pos_kernel // 2, groups=cfg.dim), approximate=False)
+    conv = L.gelu(L.depthwise_conv1d(params["conv_embed"], conv_in, padding=cfg.conv_pos_kernel // 2))
     h = conv + h  # acoustic.py:508
     return h, _time_embedding(params, times, dtype)
 
@@ -255,7 +255,7 @@ def forward(
         conv_in = h * key_mask[..., None].astype(dtype)
     else:
         conv_in = h
-    conv = jax.nn.gelu(L.conv1d(params["conv_embed"], conv_in, padding=cfg.conv_pos_kernel // 2, groups=cfg.dim), approximate=False)
+    conv = L.gelu(L.depthwise_conv1d(params["conv_embed"], conv_in, padding=cfg.conv_pos_kernel // 2))
     h = conv + h  # acoustic.py:508
     time_emb = _time_embedding(params, times, dtype)
     h = _transformer(params, cfg, h, time_emb, key_mask=key_mask, valid_len=valid_len)

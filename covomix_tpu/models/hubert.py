@@ -112,7 +112,7 @@ def conv_frontend(params, cfg: HubertConfig, wav: jnp.ndarray, dtype=jnp.float32
             lm = None if t_valid is None else (
                 jnp.arange(x.shape[1])[None, :] < t_valid[:, None])
             x = L.groupnorm(params["fe_group_norm"], x, num_groups=dim, length_mask=lm)
-        x = jax.nn.gelu(x, approximate=False)
+        x = L.gelu(x)
     return x
 
 
@@ -127,7 +127,7 @@ def _encoder_layer(lp, x, heads, key_mask=None):
     x = residual + L.linear(lp["out"], att)
     x = L.layernorm(lp["attn_ln"], x)
     residual = x
-    h = jax.nn.gelu(L.linear(lp["fc1"], x), approximate=False)
+    h = L.gelu(L.linear(lp["fc1"], x))
     x = residual + L.linear(lp["fc2"], h)
     return L.layernorm(lp["final_ln"], x)
 
@@ -169,7 +169,7 @@ def extract_features(
     pos = L.conv1d(params["pos_conv"], x, padding=cfg.conv_pos // 2, groups=cfg.conv_pos_groups)
     if cfg.conv_pos % 2 == 0:
         pos = pos[:, :-1]
-    x = x + jax.nn.gelu(pos, approximate=False)
+    x = x + L.gelu(pos)
     x = L.layernorm(params["encoder_layer_norm"], x)
 
     for li in range(output_layer):

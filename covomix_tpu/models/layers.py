@@ -75,6 +75,33 @@ def conv1d(p, x, stride: int = 1, padding="SAME", groups: int = 1, lhs_dilation:
     return y
 
 
+def depthwise_conv1d(p, x, padding: int):
+    """Depthwise 1-D conv (groups == channels) as K shifted FMAs.
+
+    Functionally identical to conv1d(p, x, padding=padding, groups=C) with
+    'WIO' weights [K, 1, C], but implemented as K statically-sliced
+    multiply-adds over the padded input instead of lax.conv_general_dilated.
+    Why: XLA:TPU's depthwise-conv WEIGHT GRADIENT lowers to a
+    batch-group-count convolution this stack cannot even compile standalone
+    ("Expected output feature dimension size (value 1) to be a multiple of
+    batch group count 1024", tools/conv_probe.py) and schedules
+    pathologically inside the train step — train_probe.py attributes ~30% of
+    the acoustic train step to this conv whose FORWARD costs <1% of a flow
+    eval. The shift-and-add autodiff is shift-and-add again (dx: correlation
+    with the flipped taps; dw: K fused reductions) — pure VPU work XLA fuses
+    cleanly. Forward cost is equivalent (both are K*B*T*C VPU FMAs)."""
+    k = p["w"].shape[0]
+    w = p["w"].astype(x.dtype)                    # [K, 1, C]
+    t_out = x.shape[1] + 2 * padding - k + 1
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    out = xp[:, :t_out] * w[0, 0]
+    for kk in range(1, k):
+        out = out + jax.lax.dynamic_slice_in_dim(xp, kk, t_out, axis=1) * w[kk, 0]
+    if "b" in p:
+        out = out + p["b"].astype(x.dtype)
+    return out
+
+
 def conv_transpose1d(p, x, stride: int, padding: int, kernel: int):
     """Torch ConvTranspose1d semantics: out_len = (T-1)*stride - 2*padding + kernel.
 
@@ -248,10 +275,25 @@ def merge_heads(x):
 # activations
 
 
+def gelu(x):
+    """GELU with dtype-adaptive fidelity.
+
+    Exact erf for f32+ compute (the torch nn.GELU default every parity budget
+    is checked against); tanh approximation for sub-f32 compute dtypes. Under
+    bf16 the erf/tanh difference (max ~1.2e-3 absolute around |x|~2, ~6e-4
+    relative on the output scale) is BELOW bf16's own rounding (eps 7.8e-3),
+    while the exact-erf chain costs a measured ~12-15% of the whole acoustic
+    flow-stage field eval on v5e (tools/flow_probe.py 2026-08-19: tanh /
+    sigmoid / identity activations land within noise of each other; only the
+    erf path is slow). For low-precision compute the approximation is
+    numerically free and measurably faster; f32 behavior is unchanged."""
+    return jax.nn.gelu(x, approximate=jnp.dtype(x.dtype).itemsize < 4)
+
+
 def geglu(x):
     """GEGLU (text2semantic.py:154-157): chunk last dim, gelu(gate) * x."""
     a, gate = jnp.split(x, 2, axis=-1)
-    return jax.nn.gelu(gate, approximate=False) * a
+    return gelu(gate) * a
 
 
 def leaky_relu(x, slope: float = 0.01):

@@ -21,6 +21,7 @@ attention, or for shapes that don't tile (covomix_tpu.models.layers.attend)."""
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +80,17 @@ def _read_valid(valid_ref):
     return valid_ref[pl.program_id(0)]
 
 
+def _fold_scale(q, scale: float):
+    """Fold the softmax scale into q when that is EXACT (scale a power of two
+    — dh 64 gives 0.125: a pure exponent shift in any float dtype). Kills one
+    full [hb, bq, bk] VPU pass per K block (s * scale). Returns
+    (q, remaining_scale)."""
+    frac = math.log2(scale)
+    if frac == round(frac):
+        return q * jnp.asarray(scale, q.dtype), 1.0
+    return q, scale
+
+
 def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int, kv_len: int,
                   scale: float):
     # valid_ref: SMEM scalar-prefetch [1] or [B] int32 — keys >= valid_len
@@ -88,27 +100,57 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int,
     # Optional lse_ref [1, hb, block_q]: per-row logsumexp (m + log l),
     # saved for the training backward pass.
     _, hb, block_q, dh = q_ref.shape
-    q = q_ref[0]
+    q, scale = _fold_scale(q_ref[0], scale)
     valid_len = _read_valid(valid_ref)
 
     num_kb = kv_len // block_k
+
+    if num_kb == 1:
+        # ONE-SHOT path: the whole key row fits one block (serving/training
+        # T <= ~2k after padding — see _resolve_blocks), so the online-softmax
+        # carry (running m/l, alpha-rescales of acc) is pure overhead. Direct
+        # softmax is ~17% faster than the 2-block online kernel at the VoMix
+        # serving shape (tools/attn_opt.py, v5e 2026-08-19: 17.2 vs 14.7
+        # TFLOP/s). Masking is pre-exp (s -> -1e30): exp then yields exact 0s;
+        # a fully-masked row would softmax uniformly instead of to zeros, but
+        # valid_len >= 1 always holds on the serving paths and rows past
+        # valid_len are garbage-by-contract anyway (callers trim).
+        s = jax.lax.dot_general(q, k_ref[0], (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_k), 2)
+        s = jnp.where(cols < valid_len, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                                  (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if lse_ref:
+            lse_ref[0][0] = m + jnp.log(jnp.maximum(l, 1e-30))
+        return
+
     # The K-block loop unrolls via _blocked_loop (see MAX_UNROLL — full
     # unrolling beats fori_loop ~21 vs ~17 TFLOP/s but overflows VMEM past 2
-    # blocks). Masking is applied to p AFTER the exp (not -inf on s):
-    # columns >= valid_len contribute 0 to both the accumulator and the
-    # denominator, while m_new may include garbage key scores — harmless,
-    # any common max >= the true max leaves softmax exact. This also makes
-    # fully-masked blocks well-defined (no -inf - -inf NaN path).
+    # blocks). Masking is pre-exp (s -> -1e30, NOT -inf: keeps the
+    # fully-masked-block path NaN-free — exp(-1e30 - m) underflows to an
+    # exact 0 contribution to both acc and l), which saves the separate
+    # post-exp where pass (+12% with the scale fold, tools/attn_opt.py).
     def step(kb, carry):
         acc, m, l = carry
         k = k_ref[0, :, pl.ds(kb * block_k, block_k), :]
         # batched-over-heads [hb, bq, dh] x [hb, bk, dh]^T -> [hb, bq, bk] f32
         s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale
         v = v_ref[0, :, pl.ds(kb * block_k, block_k), :]
         cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_k), 2)
+        s = jnp.where(cols < valid_len, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.where(cols < valid_len, jnp.exp(s - m_new), 0.0)
+        p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
@@ -116,7 +158,7 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int,
         return acc_new, m_new, l_new
 
     carry = (jnp.zeros((hb, block_q, dh), jnp.float32),
-             jnp.full((hb, block_q, 1), -jnp.inf, jnp.float32),
+             jnp.full((hb, block_q, 1), -1e30, jnp.float32),
              jnp.zeros((hb, block_q, 1), jnp.float32))
     acc, m, l = _blocked_loop(num_kb, step, carry)
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
@@ -166,6 +208,18 @@ def _resolve_blocks(cfg, t, h, dtype):
     block_k=512, tp=640), the tail key columns would silently never be
     attended (0.28 max-abs error vs einsum, found by review r3)."""
     block_q, block_k, head_block, interpret = cfg
+    if cfg[:3] == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, DEFAULT_HEAD_BLOCK):
+        # DEFAULT config + the whole key row fits one block: take the
+        # ONE-SHOT kernel path (no online-softmax carry), the fastest
+        # structure measured at the serving/training shapes — 17.2 vs 14.7
+        # TFLOP/s at VoMix T=912 (tools/attn_opt.py, v5e 2026-08-19).
+        # VMEM bound: the f32 [hb, bq, tp] score block at hb=2/bq=256 is
+        # tp*2KB -> 4 MB at tp=2048 (8 MB f32 inputs), comfortably inside
+        # the 16 MB scope. Explicit caller block configs are respected.
+        tp1 = round_up(t, 128)
+        if tp1 <= (2048 if dtype.itemsize <= 2 else 1024):
+            bq = 256 if tp1 % 256 == 0 else 128   # must divide tp (floored loop)
+            return min(bq, tp1), tp1, 2 if h % 2 == 0 else 1, interpret, tp1
     if dtype.itemsize >= 4:
         # f32 q/k/v doubles the VMEM footprint of the in-kernel blocks; the
         # 16 MB scoped-vmem limit fits 1024-wide blocks only for <=2-byte
@@ -248,7 +302,9 @@ def _flash_forward(cfg, valid_arr, q, k, v, with_lse: bool = False):
 def _flash_bwd_dq_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                          dq_ref, *, block_k: int, kv_len: int, scale: float):
     _, hb, block_q, dh = q_ref.shape
-    q = q_ref[0]
+    # scale folded into q where exact (power of two); s comes out identical
+    # and the trailing dq * scale is the chain-rule factor, unchanged
+    q, s_scale = _fold_scale(q_ref[0], scale)
     do = do_ref[0]
     # lse/delta ride as [b, h/hb, hb, t] so each grid step's block is its own
     # head pair statically (a [.., t, 1] layout would lane-pad 128x in HBM;
@@ -264,9 +320,11 @@ def _flash_bwd_dq_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
         k = k_ref[0, :, pl.ds(kb * block_k, block_k), :]
         v = v_ref[0, :, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
+        if s_scale != 1.0:
+            s = s * s_scale
         cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_k), 2)
-        p = jnp.where(cols < valid_len, jnp.exp(s - lse), 0.0)
+        p = jnp.exp(jnp.where(cols < valid_len, s, -1e30) - lse)
         dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
@@ -282,7 +340,9 @@ def _flash_bwd_dkv_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta
     # grid over KV blocks: k_ref/v_ref [1, hb, block_k, dh]; q/do/lse/delta
     # are full-length.
     _, hb, block_k, dh = k_ref.shape
-    k = k_ref[0]
+    # fold the scale into k this time (s^T = k q^T): exact for power-of-two
+    # scales; the trailing dk * scale chain-rule factor is unchanged
+    k, s_scale = _fold_scale(k_ref[0], scale)
     v = v_ref[0]
     valid_len = _read_valid(valid_ref)
     kb0 = pl.program_id(2) * block_k
@@ -300,8 +360,10 @@ def _flash_bwd_dkv_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta
         delta = delta_ref[0, 0, :, pl.ds(qb * block_q, block_q)][:, None, :]
         # s^T [hb, bk, bq]
         st = jax.lax.dot_general(k, q, (((2,), (2,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32) * scale
-        pt = jnp.where(key_live, jnp.exp(st - lse), 0.0)
+                                 preferred_element_type=jnp.float32)
+        if s_scale != 1.0:
+            st = st * s_scale
+        pt = jnp.exp(jnp.where(key_live, st, -1e30) - lse)
         dv_new = dv + jax.lax.dot_general(pt.astype(do.dtype), do, (((2,), (1,)), ((0,), (0,))),
                                           preferred_element_type=jnp.float32)
         dpt = jax.lax.dot_general(v, do, (((2,), (2,)), ((0,), (0,))),

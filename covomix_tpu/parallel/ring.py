@@ -83,6 +83,10 @@ def conv1d_halo(p, x: jnp.ndarray, kernel: int, groups: int, axis_name: str, sp:
     left = jnp.where(rank == 0, 0.0, left)             # global left edge: zero pad
     right = jnp.where(rank == sp - 1, 0.0, right)      # global right edge
     xx = jnp.concatenate([left, x, right], axis=1)
+    if groups == xx.shape[-1]:
+        # depthwise: shift-and-add path (XLA:TPU's depthwise weight-grad
+        # lowering is broken/pathological — see layers.depthwise_conv1d)
+        return L.depthwise_conv1d(p, xx, padding=0)
     return L.conv1d(p, xx, padding=(0, 0), groups=groups)
 
 
@@ -152,8 +156,8 @@ def sample_sp(
             # [B, nb] stacking of ph/cond/drop
             y2 = jnp.repeat(y[:, None], nb, axis=1).reshape(bl * nb, tl, cfg.mel_dim).astype(dtype)
             h = y2 @ p["to_embed"]["w"].astype(dtype)[: cfg.mel_dim] + emb
-            conv = jax.nn.gelu(conv1d_halo(p["conv_embed"], h, cfg.conv_pos_kernel,
-                                           cfg.dim, "sp", sp), approximate=False)
+            conv = L.gelu(conv1d_halo(p["conv_embed"], h, cfg.conv_pos_kernel,
+                                cfg.dim, "sp", sp))
             h = conv + h
             temb = A._time_embedding(p, jnp.full((bl * nb,), tscalar), dtype)
             h = transformer_sp(p, cfg, h, temb, "sp", sp)
@@ -215,8 +219,8 @@ def cfm_loss_sp(
     def body(p, w_l, ph_l, cond_l, times_l, drop_l, flow_l, mask_l):
         h0 = A.static_embed(p, cfg, ph_l, cond_l, cond_drop_mask=drop_l, dtype=dtype)
         h = w_l.astype(dtype) @ p["to_embed"]["w"].astype(dtype)[: cfg.mel_dim] + h0
-        conv = jax.nn.gelu(conv1d_halo(p["conv_embed"], h, cfg.conv_pos_kernel,
-                                       cfg.dim, "sp", sp), approximate=False)
+        conv = L.gelu(conv1d_halo(p["conv_embed"], h, cfg.conv_pos_kernel,
+                            cfg.dim, "sp", sp))
         h = conv + h
         temb = A._time_embedding(p, times_l, dtype)
         h = transformer_sp(p, cfg, h, temb, "sp", sp)

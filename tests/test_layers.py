@@ -75,3 +75,44 @@ def test_conv_transpose_matches_torch():
     with jax.default_matmul_precision("highest"):
         mine = np.asarray(L.conv_transpose1d(p, jnp.asarray(x.transpose(0, 2, 1)), stride=5, padding=1, kernel=8))
     np.testing.assert_allclose(mine.transpose(0, 2, 1), ref, atol=1e-4)
+
+
+def test_depthwise_conv1d_matches_grouped_conv():
+    """Shift-and-add depthwise conv == lax grouped conv, values AND both
+    grads (the grouped-conv WEIGHT grad is the op the TPU stack mishandles —
+    see layers.depthwise_conv1d; on CPU both lower fine, so grad parity is
+    checkable here)."""
+    import jax
+
+    rng = np.random.RandomState(8)
+    k, c, t = 31, 16, 50
+    p = {"w": jnp.asarray(rng.randn(k, 1, c).astype(np.float32) * 0.2),
+         "b": jnp.asarray(rng.randn(c).astype(np.float32))}
+    x = jnp.asarray(rng.randn(2, t, c).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        ref = L.conv1d(p, x, padding=k // 2, groups=c)
+        mine = L.depthwise_conv1d(p, x, padding=k // 2)
+        np.testing.assert_allclose(np.asarray(mine), np.asarray(ref), atol=1e-5)
+
+        def loss(impl, p, x):
+            return jnp.sum(jnp.square(impl(p, x)))
+
+        g_ref = jax.grad(lambda p, x: loss(lambda p, x: L.conv1d(p, x, padding=k // 2, groups=c), p, x),
+                         argnums=(0, 1))(p, x)
+        g_new = jax.grad(lambda p, x: loss(lambda p, x: L.depthwise_conv1d(p, x, padding=k // 2), p, x),
+                         argnums=(0, 1))(p, x)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_new)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-4)
+
+
+def test_depthwise_conv1d_asymmetric_length():
+    """Non-SAME case: output length t + 2p - k + 1 matches the grouped conv."""
+    rng = np.random.RandomState(9)
+    k, c, t = 5, 4, 12
+    p = {"w": jnp.asarray(rng.randn(k, 1, c).astype(np.float32))}
+    x = jnp.asarray(rng.randn(1, t, c).astype(np.float32))
+    for pad in (0, 1, 2, 4):
+        ref = L.conv1d(p, x, padding=pad, groups=c)
+        mine = L.depthwise_conv1d(p, x, padding=pad)
+        assert mine.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(mine), np.asarray(ref), atol=1e-5)

@@ -157,7 +157,9 @@ def test_verify_script_standins(standin_assets, tmp_path):
                   "parity/acoustic_field_eval", "parity/comix_acoustic_field_eval",
                   "parity/t2s_logits", "parity/t2s_decode",
                   "parity/comix_t2s_logits", "parity/comix_t2s_decode",
-                  "parity/vocoder", "e2e/covosingle", "e2e/covomix"]:
+                  "parity/vocoder", "e2e/covosingle", "e2e/covomix",
+                  # production fused-serving path proved on the same weights
+                  "serve_fused/covosingle", "serve_fused/covomix"]:
         assert by_stage.get(stage) == "PASS", (stage, by_stage)
     # identical-clone EMA shadows: converted weights equal raw ones, so the
     # parity stages above double as an EMA-selection regression check

@@ -10,6 +10,11 @@ B=16, so the time goes elsewhere. This probe times ONE CFG field eval
   tanh-gelu   jax.nn.gelu patched to approximate=True (erf -> tanh; the
               VPU-transcendental suspect — 8 layers x [2B,912,4096] erf
               evals per field eval)
+  sig-gelu    gelu replaced by x*sigmoid(1.702x) (quick-gelu: ONE cheap
+              transcendental instead of erf's polynomial chain)
+  id-act      gelu replaced by identity (upper bound on ALL activation cost)
+  no-conv     depthwise conv-pos embed replaced by identity (k=31 depthwise
+              runs on the VPU, not the MXU — the layout suspect)
   matmul-sol  a bare bf16 matmul chain moving the same FLOPs (the
               speed-of-light reference for this stack)
 
@@ -88,16 +93,35 @@ for b2 in (8, 32):
     finally:
         A.attend_flash_or_xla = orig_attend
 
-    # --- erf-gelu -> tanh-gelu
+    # --- activation variants (patch jax.nn.gelu, which every call site uses)
     orig_gelu = jax.nn.gelu
-    jax.nn.gelu = lambda x, approximate=True: orig_gelu(x, approximate=True)
+    acts = {
+        "tanh-gelu": lambda x, approximate=True: orig_gelu(x, approximate=True),
+        "sig-gelu": lambda x, approximate=True: x * jax.nn.sigmoid(1.702 * x),
+        "id-act": lambda x, approximate=True: x,
+    }
+    w_act = {}
+    for tag, fn in acts.items():
+        jax.nn.gelu = fn
+        try:
+            w_act[tag] = retry(lambda b=b2, t=tag: fwd_wall(b, t), tag)
+        finally:
+            jax.nn.gelu = orig_gelu
+
+    # --- depthwise conv-pos embed ablated
+    import covomix_tpu.models.layers as LY
+    orig_conv = LY.conv1d
+    LY.conv1d = lambda p, x, **kw: x
     try:
-        w_tanh = retry(lambda b=b2: fwd_wall(b, "tanh-gelu"), "tanh-gelu")
+        w_noconv = retry(lambda b=b2: fwd_wall(b, "no-conv"), "no-conv")
     finally:
-        jax.nn.gelu = orig_gelu
+        LY.conv1d = orig_conv
 
     print(f"b2={b2}: attention share {(w_full - w_noattn) / w_full:.1%}, "
-          f"gelu-exact share {(w_full - w_tanh) / w_full:.1%}", flush=True)
+          f"gelu-exact-vs-tanh {(w_full - w_act['tanh-gelu']) / w_full:.1%}, "
+          f"gelu-exact-vs-sig {(w_full - w_act['sig-gelu']) / w_full:.1%}, "
+          f"all-activation {(w_full - w_act['id-act']) / w_full:.1%}, "
+          f"conv-pos {(w_full - w_noconv) / w_full:.1%}", flush=True)
 
 # --- speed-of-light: bare bf16 matmul chain at the dominant shape
 M, K, N = 32 * 912, 1024, 4096

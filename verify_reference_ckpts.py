@@ -34,7 +34,11 @@ wavs, writing audible .wav outputs + config.txt provenance. The vocoder-stage
 MCD on the real fixture mels is the "0.1 dB budget" headline: it is computed
 between the torch reference generator's waveform and ours on identical inputs,
 so a pass means converted-checkpoint audio is numerically interchangeable with
-the reference's.
+the reference's. Stage (4) then runs the PRODUCTION fused single-jit serving
+path (serving.BatchedPipeline, fused=True default) on the same weights against
+its staged counterpart and enforces MCD(fused, staged) <= --mcd_budget — so
+the one-command proof covers the batched serving default, not just the
+per-file path.
 
 Stochastic stages (flow-matching sample, T2S sampling at temperature>0) cannot
 be compared sample-for-sample across frameworks (different RNG streams), which
@@ -431,47 +435,34 @@ def _fixture_wavs(args, max_files: int, sr: int = 8000):
 # stage 3: end-to-end synthesis on fixture-derived prompts
 
 
-def run_e2e(args, npz: dict, rep: Report, *, comix: bool):
+def _load_npz_model(path, cfg_cls):
+    """Converted-.npz -> (params, cfg) with the JSON-sidecar config coerced
+    back into the dataclass (lists -> tuples, unknown keys dropped)."""
+    from covomix_tpu.checkpoint import io as cio
+
+    params = cio.load_params(path)
+    meta = cio.load_meta(path)
+    fields = {f.name for f in dataclasses.fields(cfg_cls)}
+    cfg = cfg_cls(**{k: (tuple(tuple(x) if isinstance(x, list) else x for x in v)
+                         if isinstance(v, list) else v)
+                     for k, v in meta.get("config", {}).items() if k in fields})
+    return params, cfg
+
+
+def _e2e_prompt(args, npz: dict, mel_cfg):
+    """Fixture-derived (fname, semantic tokens [n], mel prompt [n, 80]).
+
+    Prompt prep contract (monologue_generation.py:82-90): wav -> mel; semantic
+    codes from the converted hubert when available (16 kHz input so the 50 Hz
+    token stream lines up 1:1 with 8 kHz/hop-160 mel frames), else silence."""
     import numpy as np
-    import jax
     import jax.numpy as jnp
 
-    from covomix_tpu.audio import MelConfig, mel_spectrogram, save_wav
+    from covomix_tpu.audio import mel_spectrogram
     from covomix_tpu.checkpoint import io as cio
-    from covomix_tpu.data.tokenizer import load_covomix_tokenizer
-    from covomix_tpu.models import acoustic as A, hubert as H, text2semantic as T, vocoder as V
-    from covomix_tpu.pipeline import SILENCE_TOKEN, Synthesizer
+    from covomix_tpu.models import hubert as H
+    from covomix_tpu.pipeline import SILENCE_TOKEN
 
-    name = "covomix" if comix else "covosingle"
-    t2s_key = "comix_t2s" if comix else "t2s"
-    ac_key = "comix_acoustic" if comix else "acoustic"
-    if t2s_key not in npz or ac_key not in npz or "vocoder" not in npz:
-        rep.add(f"e2e/{name}", "SKIP", reason=f"missing {t2s_key}/{ac_key}/vocoder checkpoint")
-        return
-
-    def _load(path, cfg_cls):
-        params = cio.load_params(path)
-        meta = cio.load_meta(path)
-        fields = {f.name for f in dataclasses.fields(cfg_cls)}
-        cfg = cfg_cls(**{k: (tuple(tuple(x) if isinstance(x, list) else x for x in v)
-                             if isinstance(v, list) else v)
-                         for k, v in meta.get("config", {}).items() if k in fields})
-        return params, cfg
-
-    t2s_params, t2s_cfg = _load(npz[t2s_key], T.T2SConfig)
-    ac_params, ac_cfg = _load(npz[ac_key], A.AcousticConfig)
-    voc_params, voc_cfg = _load(npz["vocoder"], V.VocoderConfig)
-    # strict=False: without --bert_vocab the e2e stage still runs the full
-    # numerical cascade on the fallback vocab (stand-in harness); pass
-    # --bert_vocab for checkpoint-compatible text ids on real assets
-    tok = load_covomix_tokenizer(args.bert_vocab, strict=False)
-    mel_cfg = MelConfig(sample_rate=voc_cfg.sampling_rate)
-    synth = Synthesizer(t2s_params, t2s_cfg, ac_params, ac_cfg, voc_params, voc_cfg,
-                        tok, mel_cfg=mel_cfg, t2s_max_length=args.t2s_max_length)
-
-    # prompt: fixture wav -> mel; semantic codes from converted hubert when
-    # available, else the silence token (prompt prep contract,
-    # monologue_generation.py:82-90)
     wavs = _fixture_wavs(args, max_files=1)
     wavs16 = _fixture_wavs(args, max_files=1, sr=16000)
     if wavs:
@@ -485,14 +476,42 @@ def run_e2e(args, npz: dict, rep: Report, *, comix: bool):
         wav16 = np.repeat(wav, 2)
     mel_prompt = np.asarray(mel_spectrogram(jnp.asarray(wav[None]), mel_cfg))[0].T
     if "hubert" in npz:
-        # HuBERT consumes the SAME audio at its own 16 kHz rate so the
-        # 50 Hz token stream lines up 1:1 with the 8 kHz/hop-160 mel frames
         hp = cio.load_params(npz["hubert"])
         codes = np.asarray(H.wav2units(hp, H.HubertConfig(), wav16))
     else:
         codes = np.full((len(mel_prompt),), SILENCE_TOKEN, np.int64)
     n = min(len(codes), len(mel_prompt), 400)
-    sem_prompt, mel_prompt = codes[:n].astype(np.int64), mel_prompt[:n]
+    return fname, codes[:n].astype(np.int64), mel_prompt[:n]
+
+
+def run_e2e(args, npz: dict, rep: Report, *, comix: bool):
+    import numpy as np
+    import jax
+
+    from covomix_tpu.audio import MelConfig, save_wav
+    from covomix_tpu.data.tokenizer import load_covomix_tokenizer
+    from covomix_tpu.models import acoustic as A, text2semantic as T, vocoder as V
+    from covomix_tpu.pipeline import Synthesizer
+
+    name = "covomix" if comix else "covosingle"
+    t2s_key = "comix_t2s" if comix else "t2s"
+    ac_key = "comix_acoustic" if comix else "acoustic"
+    if t2s_key not in npz or ac_key not in npz or "vocoder" not in npz:
+        rep.add(f"e2e/{name}", "SKIP", reason=f"missing {t2s_key}/{ac_key}/vocoder checkpoint")
+        return
+
+    t2s_params, t2s_cfg = _load_npz_model(npz[t2s_key], T.T2SConfig)
+    ac_params, ac_cfg = _load_npz_model(npz[ac_key], A.AcousticConfig)
+    voc_params, voc_cfg = _load_npz_model(npz["vocoder"], V.VocoderConfig)
+    # strict=False: without --bert_vocab the e2e stage still runs the full
+    # numerical cascade on the fallback vocab (stand-in harness); pass
+    # --bert_vocab for checkpoint-compatible text ids on real assets
+    tok = load_covomix_tokenizer(args.bert_vocab, strict=False)
+    mel_cfg = MelConfig(sample_rate=voc_cfg.sampling_rate)
+    synth = Synthesizer(t2s_params, t2s_cfg, ac_params, ac_cfg, voc_params, voc_cfg,
+                        tok, mel_cfg=mel_cfg, t2s_max_length=args.t2s_max_length)
+
+    fname, sem_prompt, mel_prompt = _e2e_prompt(args, npz, mel_cfg)
 
     text = args.text
     key = jax.random.PRNGKey(args.seed)
@@ -520,6 +539,93 @@ def run_e2e(args, npz: dict, rep: Report, *, comix: bool):
     with open(os.path.join(args.out_dir, "config.txt"), "a") as f:
         f.write(f"{name}: t2s={npz[t2s_key]} acoustic={npz[ac_key]} "
                 f"vocoder={npz['vocoder']} seed={args.seed}\n")
+
+
+# ---------------------------------------------------------------------------
+# stage 4: fused single-jit serving path on the converted checkpoints
+
+
+def run_e2e_fused(args, npz: dict, rep: Report, *, comix: bool):
+    """Prove the PRODUCTION serving path on these weights, not just the
+    per-file one: the same prompt/text runs through serving.BatchedPipeline
+    with fused=True (whole cascade as ONE jitted program — the default,
+    serving.py:59) and fused=False (three staged programs), and the MCD
+    between the two wavs' mels must be <= --mcd_budget. A mixed-length B=2
+    batch (full prompt + a 2/3-truncated one) exercises the per-row
+    left-packing that the per-file path never touches."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from covomix_tpu.audio import MelConfig, mel_spectrogram
+    from covomix_tpu.data.tokenizer import load_covomix_tokenizer
+    from covomix_tpu.models import acoustic as A, text2semantic as T, vocoder as V
+    from covomix_tpu.serving import BatchedPipeline
+    from covomix_tpu.util.metrics import mcd
+    from covomix_tpu.util.misc import round_up
+
+    name = "covomix" if comix else "covosingle"
+    t2s_key = "comix_t2s" if comix else "t2s"
+    ac_key = "comix_acoustic" if comix else "acoustic"
+    if t2s_key not in npz or ac_key not in npz or "vocoder" not in npz:
+        rep.add(f"serve_fused/{name}", "SKIP",
+                reason=f"missing {t2s_key}/{ac_key}/vocoder checkpoint")
+        return
+
+    t2s_params, t2s_cfg = _load_npz_model(npz[t2s_key], T.T2SConfig)
+    ac_params, ac_cfg = _load_npz_model(npz[ac_key], A.AcousticConfig)
+    voc_params, voc_cfg = _load_npz_model(npz["vocoder"], V.VocoderConfig)
+    mel_cfg = MelConfig(sample_rate=voc_cfg.sampling_rate)
+    _, sem_prompt, mel_prompt = _e2e_prompt(args, npz, mel_cfg)
+
+    tok = load_covomix_tokenizer(args.bert_vocab, strict=False)
+    ids, _ = tok.batch_encode([args.text, args.text])
+    s = round_up(max(ids.shape[1], 1), 16)
+    text_ids = np.pad(np.asarray(ids), ((0, 0), (0, s - ids.shape[1])))
+
+    # B=2 mixed prompt lengths: row 1 truncated to 2/3 (pad rows to pmax with
+    # the same values the pipeline masks out past prompt_lens)
+    pmax = len(sem_prompt)
+    plens = np.array([pmax, max(1, (2 * pmax) // 3)], np.int32)
+    prompt_tokens = np.stack([sem_prompt, sem_prompt]).astype(np.int32)
+    cond_dim = ac_cfg.dim_in
+    pm = mel_prompt if cond_dim == mel_prompt.shape[-1] else np.concatenate(
+        [mel_prompt, mel_prompt], axis=-1)  # VoMix 160-d two-channel cond
+    prompt_mels = np.stack([pm, pm]).astype(np.float32)
+
+    kw = dict(t2s_params=t2s_params, t2s_cfg=t2s_cfg,
+              acoustic_params=ac_params, acoustic_cfg=ac_cfg,
+              vocoder_params=voc_params, vocoder_cfg=voc_cfg,
+              decode_len=args.t2s_max_length, min_length=8)
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.time()
+    wav_f, gen_f = BatchedPipeline(fused=True, **kw)(
+        key, text_ids, prompt_tokens, prompt_mels, plens)
+    t_fused = time.time() - t0
+    t0 = time.time()
+    wav_s, gen_s = BatchedPipeline(fused=False, **kw)(
+        key, text_ids, prompt_tokens, prompt_mels, plens)
+    t_staged = time.time() - t0
+
+    wav_f, wav_s = np.asarray(wav_f, np.float32), np.asarray(wav_s, np.float32)
+    lens_f = np.asarray(jnp.minimum(gen_f.lengths, gen_f.lengths2) if comix else gen_f.lengths)
+    lens_s = np.asarray(jnp.minimum(gen_s.lengths, gen_s.lengths2) if comix else gen_s.lengths)
+    tokens_match = bool(np.array_equal(np.asarray(gen_f.tokens), np.asarray(gen_s.tokens))
+                        and np.array_equal(lens_f, lens_s))
+    worst = 0.0
+    for i in range(wav_f.shape[0]):
+        n = int(lens_f[i]) * mel_cfg.hop_size
+        if n <= 0 or not tokens_match:
+            continue
+        mf = np.asarray(mel_spectrogram(jnp.asarray(wav_f[i, :n][None]), mel_cfg))[0].T
+        ms = np.asarray(mel_spectrogram(jnp.asarray(wav_s[i, :n][None]), mel_cfg))[0].T
+        worst = max(worst, mcd(ms, mf))
+    ok = (tokens_match and np.isfinite(wav_f).all() and lens_f.min() > 0
+          and float(np.abs(wav_f).max()) > 1e-6 and worst <= args.mcd_budget)
+    rep.add(f"serve_fused/{name}", "PASS" if ok else "FAIL",
+            tokens_match=tokens_match, mcd_fused_vs_staged_db=f"{worst:.4f}",
+            mcd_budget=args.mcd_budget, gen_lens=lens_f.tolist(),
+            fused_wall_s=f"{t_fused:.1f}", staged_wall_s=f"{t_staged:.1f}")
 
 
 # ---------------------------------------------------------------------------
@@ -592,6 +698,10 @@ def main(argv=None):
         run_e2e(args, npz, rep, comix=False)
         if args.comix_t2s_ckpt and args.comix_acous_ckpt:
             run_e2e(args, npz, rep, comix=True)
+        # production (fused single-jit) serving path on the same weights
+        run_e2e_fused(args, npz, rep, comix=False)
+        if args.comix_t2s_ckpt and args.comix_acous_ckpt:
+            run_e2e_fused(args, npz, rep, comix=True)
 
     report_path = os.path.join(args.out_dir, "verify_report.json")
     with open(report_path, "w") as f:
