@@ -30,17 +30,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from covomix_tpu.util.misc import round_up
 
-# Measured on v5e at the VoMix serving shape (B=8 CFG-doubled, H=16, T=912,
-# dh=64, bf16): 21.1 TFLOP/s at 1024/512/hb=2 with the dynamic valid_len
-# mask (within noise of 1024/1024 and of the fully-static kernel's 20.8 on
-# the same day — single-dispatch tunnel timings wander a few TFLOP/s).
-# The K-block loop is UNROLLED at trace time: a lax.fori_loop body costs
-# ~17 TFLOP/s (loop-carried acc defeats Mosaic's cross-block scheduling),
-# and instantiating two bodies (masked + unmasked) overflows the 16 MB
-# scoped-VMEM stack at 1024-wide blocks. block_k=512 keeps the f32 [hb, bq,
-# bk] softmax block at 4 MB. jax's built-in pallas flash kernel measured
-# 22.7 on this shape (same-day basis as the old 24.4); the XLA einsum path
-# runs 13.3.
+# Defaults apply only when the padded row does NOT fit a single K block;
+# _resolve_blocks prefers the ONE-SHOT structure (block_k == padded T, no
+# online-softmax carry) up to tp=2048, measured fastest at the serving and
+# training shapes: 17.2 vs 14.7 TFLOP/s same-day at VoMix T=912
+# (tools/attn_opt.py, v5e 2026-08-19 — absolute numbers wander a few TFLOP/s
+# day to day through the tunnel; the ~17% structural gap is stable). On the
+# multi-block path the K-block loop is UNROLLED at trace time (a
+# lax.fori_loop body defeats Mosaic's cross-block scheduling) with scale
+# folded into q and pre-exp masking (+12%); two 1024-wide unrolled bodies
+# overflow the 16 MB scoped-VMEM stack, hence block_k=512. jax's built-in
+# pallas flash kernel measured 22.7 TFLOP/s on an earlier (faster-tunnel)
+# day vs 21.1 for this kernel's multi-block path; the XLA einsum path 13.3.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 512
 DEFAULT_HEAD_BLOCK = 2
