@@ -126,7 +126,10 @@ def test_grad_accum_sharded_matches_unsharded():
         s1, m1 = step(state, sbatch, k)
     np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(s0.params), jax.tree_util.tree_leaves(s1.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+        # Adam updates are +-lr=1e-3; cross-device psum reduction order can
+        # flip near-zero grads, moving the normalized update by ~1e-5 for
+        # isolated elements (observed 5.3e-6 on 1/16384 elements).
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
 
 
 def test_make_mesh_rejects_tp_over_devices():
