@@ -1,0 +1,192 @@
+"""Flash-attention softmax-CHAIN variant sweep (one-shot structure).
+
+attn_opt.py found the one-shot structure (block_k = padded T, no online
+carry) fastest but plateaued at ~17-20 TFLOP/s vs the ~98 TFLOP/s dh=64 MXU
+ceiling and the 122 TFLOP/s measured dense-matmul speed-of-light. Roofline
+(flow_probe 2026-08-19): the two dots account for ~0.35 ms/layer of the
+measured ~1.5 ms/layer -> ~75% of kernel time is the VPU softmax chain
+serialized against the MXU. This sweeps the CHAIN itself, all on the
+winning one-shot(256/1024/2) block structure at the VoMix serving shape:
+
+  base      production one-shot: fold-scale + premask(where/iota) + exp
+  exp2      fold scale*log2(e) into q (f32 fold, bf16 cast) and use exp2 —
+            the VPU's native transcendental; exp lowers to exp2(x*log2e),
+            so this deletes one full [hb,bq,bk] multiply pass
+  masklane  validity mask folded into the QK dot: q/k zero-padded to dh=128
+            (the contraction runs 128-deep on the MXU either way) with
+            lane 64 carrying (1, -BIG*is_pad) — deletes the where/iota pass
+  bf16max   row max reduced on a bf16 downcast of s (softmax is shift-
+            invariant, so an up-to-0.4%-low max is still exact, just
+            costs ~e^eps headroom) — halves the max-reduce pass
+  nomax     DIAGNOSTIC ONLY (overflow-unsafe): skip the max entirely —
+            upper bound on what any max-reduce trick can save
+  combos of winners, + hb=4 on the best chain
+
+Run: python tools/attn_opt2.py  (TPU, ~4 min)
+"""
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import covomix_tpu.util.jaxcache  # noqa: F401
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B2, H, T, DH = 8, 16, 912, 64
+TP = 1024
+DTYPE = jnp.bfloat16
+LOG2E = 1.4426950408889634
+
+
+def retry(fn, what, attempts=6):
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            if a == attempts - 1:
+                raise
+            print(f"# {what} attempt {a} failed ({str(e)[:120]}); retrying", flush=True)
+            time.sleep(15 * (a + 1))
+
+
+def chain_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, kv_len, scale,
+                 use_exp2, masklane, maxmode):
+    _, hb, block_q, dh = q_ref.shape
+    mult = scale * (LOG2E if use_exp2 else 1.0)
+    exp = jnp.exp2 if use_exp2 else jnp.exp
+    # fold the full multiplier into q in f32, one [hb,bq,dh] pass (tiny vs
+    # the [hb,bq,kv] score passes)
+    q = (q_ref[0].astype(jnp.float32) * mult).astype(q_ref.dtype)
+    valid_len = valid_ref[0]
+
+    if masklane:
+        # contraction zero-padded 64->128 with lane 64 = (1 | -BIG*is_pad):
+        # the dot emits s already masked; no where/iota over [hb,bq,kv].
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, block_q, 128), 2)
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, 128 - dh)))
+        qp = jnp.where(lane == dh, jnp.asarray(1.0, q.dtype), qp)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, kv_len, 128), 1)
+        klane = jax.lax.broadcasted_iota(jnp.int32, (1, kv_len, 128), 2)
+        kp = jnp.pad(k_ref[0], ((0, 0), (0, 0), (0, 128 - dh)))
+        kp = jnp.where((klane == dh) & (cols >= valid_len),
+                       jnp.asarray(-1e30, k_ref.dtype), kp)
+        s = jax.lax.dot_general(qp, kp, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+    else:
+        s = jax.lax.dot_general(q, k_ref[0], (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kv_len), 2)
+        s = jnp.where(cols < valid_len, s, -1e30)
+
+    if maxmode == "f32":
+        m = jnp.max(s, axis=-1, keepdims=True)
+    elif maxmode == "bf16":
+        m = jnp.max(s.astype(jnp.bfloat16), axis=-1, keepdims=True).astype(jnp.float32)
+    else:  # "none" — diagnostic, overflow-unsafe
+        m = jnp.zeros((1, 1, 1), jnp.float32)
+    p = exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def run_variant(q, k, v, *, block_q=256, head_block=2, use_exp2=False,
+                masklane=False, maxmode="f32", tag=""):
+    b, h, t, dh = q.shape
+    scale = dh ** -0.5
+    valid = jnp.asarray([t], jnp.int32)
+    kernel = functools.partial(chain_kernel, kv_len=TP, scale=scale,
+                               use_exp2=use_exp2, masklane=masklane, maxmode=maxmode)
+    grid = (b, h // head_block, TP // block_q)
+    blk = lambda bs: pl.BlockSpec((1, head_block, bs, dh),
+                                  lambda bb, hh, i, *_: (bb, hh, i, 0),
+                                  memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((1, head_block, TP, dh), lambda bb, hh, i, *_: (bb, hh, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def call(q, k, v):
+        pad = [(0, 0), (0, 0), (0, TP - q.shape[2]), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, h, TP, dh), q.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid,
+                in_specs=[blk(block_q), full, full], out_specs=blk(block_q)),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * TP * TP * dh,
+                bytes_accessed=4 * b * h * TP * dh * q.dtype.itemsize,
+                transcendentals=b * h * TP * TP),
+        )(valid, q, k, v)
+
+    iters = 16
+
+    @jax.jit
+    def loop(q, k, v):
+        def body(i, c):
+            o = call(q + c * 1e-12, k, v)
+            return jnp.float32(o[0, 0, 0, 0])
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    try:
+        float(loop(q, k, v))
+    except Exception as e:  # noqa: BLE001
+        print(f"{tag}: FAIL {str(e)[:150]}", flush=True)
+        return None, None
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(q, k, v))
+        best = min(best, time.perf_counter() - t0)
+    per = best / iters
+    tf = 4 * b * h * TP * TP * dh / per / 1e12
+    print(f"{tag}: {per * 1e3:.2f} ms  {tf:.1f} TFLOP/s", flush=True)
+    return per, call
+
+
+def main():
+    print(f"platform={jax.devices()[0].platform} kind={jax.devices()[0].device_kind}",
+          flush=True)
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (B2, H, T, DH), jnp.float32).astype(DTYPE)
+    k = jax.random.normal(kk, (B2, H, T, DH), jnp.float32).astype(DTYPE)
+    v = jax.random.normal(kv, (B2, H, T, DH), jnp.float32).astype(DTYPE)
+
+    variants = [
+        dict(tag="base(256/2)"),
+        dict(use_exp2=True, tag="exp2"),
+        dict(masklane=True, tag="masklane"),
+        dict(use_exp2=True, masklane=True, tag="exp2+masklane"),
+        dict(maxmode="bf16", use_exp2=True, tag="exp2+bf16max"),
+        dict(maxmode="none", use_exp2=True, tag="exp2+NOMAX(diag)"),
+        dict(maxmode="none", use_exp2=True, masklane=True, tag="exp2+masklane+NOMAX(diag)"),
+        dict(use_exp2=True, masklane=True, maxmode="bf16", tag="exp2+masklane+bf16max"),
+        dict(use_exp2=True, head_block=4, tag="exp2 hb4"),
+        dict(use_exp2=True, masklane=True, head_block=4, tag="exp2+masklane hb4"),
+        dict(use_exp2=True, block_q=512, tag="exp2 bq512"),
+    ]
+    outs = {}
+    for kw in variants:
+        tag = kw.pop("tag")
+        per, call = retry(lambda kw=kw, tag=tag: run_variant(q, k, v, **kw, tag=tag), tag)
+        if per is not None:
+            outs[tag] = (per, call)
+
+    from covomix_tpu.ops.flash_attention import flash_attention
+    o_prod = np.asarray(flash_attention(q, k, v), np.float32)
+    for tag in outs:
+        if "diag" in tag:
+            continue
+        o = np.asarray(outs[tag][1](q, k, v), np.float32)[:, :, :T]
+        print(f"{tag}: max|Δ| vs production = {np.abs(o - o_prod[:, :, :T]).max():.2e}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
