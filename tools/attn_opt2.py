@@ -20,7 +20,12 @@ winning one-shot(256/1024/2) block structure at the VoMix serving shape:
             costs ~e^eps headroom) — halves the max-reduce pass
   nomax     DIAGNOSTIC ONLY (overflow-unsafe): skip the max entirely —
             upper bound on what any max-reduce trick can save
-  combos of winners, + hb=4 on the best chain
+  sumlane   softmax denominator folded into the PV dot: v zero-padded
+            64->128 (the MXU output runs 128 lanes either way) with lane
+            dh = 1.0, so l = acc128[..., dh] — deletes the VPU sum-reduce
+            pass over [hb,bq,kv] for free
+  combos of winners, + hb=4 on the best chain; plus xla-einsum, the plain
+  jnp attention at real T=912 (does the Pallas kernel earn its keep at all?)
 
 Run: python tools/attn_opt2.py  (TPU, ~4 min)
 """
@@ -54,7 +59,7 @@ def retry(fn, what, attempts=6):
 
 
 def chain_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, kv_len, scale,
-                 use_exp2, masklane, maxmode):
+                 use_exp2, masklane, maxmode, sumlane=False):
     _, hb, block_q, dh = q_ref.shape
     mult = scale * (LOG2E if use_exp2 else 1.0)
     exp = jnp.exp2 if use_exp2 else jnp.exp
@@ -89,6 +94,20 @@ def chain_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, kv_len, scale,
     else:  # "none" — diagnostic, overflow-unsafe
         m = jnp.zeros((1, 1, 1), jnp.float32)
     p = exp(s - m)
+    if sumlane:
+        # softmax denominator folded into the PV dot: v zero-padded 64->128
+        # (the MXU output runs 128 lanes either way) with lane dh = 1.0, so
+        # l = acc128[..., dh] — the VPU sum-reduce pass over [hb,bq,kv]
+        # disappears. l then sums the SAME bf16-cast p that multiplies v.
+        vlane = jax.lax.broadcasted_iota(jnp.int32, (1, kv_len, 128), 2)
+        vp = jnp.pad(v_ref[0], ((0, 0), (0, 0), (0, 128 - dh)))
+        vp = jnp.where(vlane == dh, jnp.asarray(1.0, v_ref.dtype), vp)
+        acc = jax.lax.dot_general(p.astype(v_ref.dtype), vp,
+                                  (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        l = acc[..., dh:dh + 1]
+        o_ref[0] = (acc[..., :dh] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
     l = jnp.sum(p, axis=-1, keepdims=True)
     acc = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
                               (((2,), (1,)), ((0,), (0,))),
@@ -97,12 +116,13 @@ def chain_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, kv_len, scale,
 
 
 def run_variant(q, k, v, *, block_q=256, head_block=2, use_exp2=False,
-                masklane=False, maxmode="f32", tag=""):
+                masklane=False, maxmode="f32", sumlane=False, tag=""):
     b, h, t, dh = q.shape
     scale = dh ** -0.5
     valid = jnp.asarray([t], jnp.int32)
     kernel = functools.partial(chain_kernel, kv_len=TP, scale=scale,
-                               use_exp2=use_exp2, masklane=masklane, maxmode=maxmode)
+                               use_exp2=use_exp2, masklane=masklane, maxmode=maxmode,
+                               sumlane=sumlane)
     grid = (b, h // head_block, TP // block_q)
     blk = lambda bs: pl.BlockSpec((1, head_block, bs, dh),
                                   lambda bb, hh, i, *_: (bb, hh, i, 0),
@@ -150,6 +170,41 @@ def run_variant(q, k, v, *, block_q=256, head_block=2, use_exp2=False,
     return per, call
 
 
+def run_xla_baseline(q, k, v):
+    """Plain jnp attention (einsum + softmax), fully XLA-scheduled, at the
+    REAL T=912 (no TP padding) — answers whether the Pallas kernel earns its
+    keep at this shape at all (scores [B2,H,T,T] f32 = 426 MB of HBM traffic
+    per pass, vs the kernel's VMEM-resident blocks)."""
+    b, h, t, dh = q.shape
+    scale = dh ** -0.5
+
+    def attn(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    iters = 16
+
+    @jax.jit
+    def loop(q, k, v):
+        def body(i, c):
+            o = attn(q + c * jnp.asarray(1e-12, q.dtype), k, v)
+            return jnp.float32(o[0, 0, 0, 0])
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(loop(q, k, v))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(q, k, v))
+        best = min(best, time.perf_counter() - t0)
+    per = best / iters
+    tf = 4 * b * h * t * t * dh / per / 1e12
+    print(f"xla-einsum(T={t}): {per * 1e3:.2f} ms  {tf:.1f} TFLOP/s "
+          f"(real-T flops basis)", flush=True)
+
+
 def main():
     print(f"platform={jax.devices()[0].platform} kind={jax.devices()[0].device_kind}",
           flush=True)
@@ -170,7 +225,15 @@ def main():
         dict(use_exp2=True, head_block=4, tag="exp2 hb4"),
         dict(use_exp2=True, masklane=True, head_block=4, tag="exp2+masklane hb4"),
         dict(use_exp2=True, block_q=512, tag="exp2 bq512"),
+        dict(sumlane=True, tag="sumlane"),
+        dict(use_exp2=True, sumlane=True, tag="exp2+sumlane"),
+        dict(use_exp2=True, masklane=True, sumlane=True, tag="exp2+masklane+sumlane"),
+        dict(use_exp2=True, masklane=True, sumlane=True, maxmode="bf16",
+             tag="exp2+masklane+sumlane+bf16max"),
+        dict(use_exp2=True, masklane=True, sumlane=True, head_block=4,
+             tag="exp2+masklane+sumlane hb4"),
     ]
+    retry(lambda: run_xla_baseline(q, k, v), "xla-einsum")
     outs = {}
     for kw in variants:
         tag = kw.pop("tag")
