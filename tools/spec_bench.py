@@ -58,11 +58,48 @@ def wall(fn, *args, n=3, **kw):
     return best, r
 
 
+def ee_agreement(params, cfg, text, tgt):
+    """Teacher-forced argmax agreement between the early-exit draft heads and
+    the full-depth heads — the direct upper bound on draft acceptance."""
+    from covomix_tpu.models import layers as L
+
+    t1 = tgt[..., 0]
+    t2 = tgt[..., 1]
+    src = T.S.set_eos_id(text, cfg.text_eos_id, cfg.text_pad_id)
+    smask = src != cfg.text_pad_id
+    context = T.encode_source(params, cfg, T.embed_source(params, cfg, src, DTYPE), smask, DTYPE)
+    start = jnp.broadcast_to(params["start_speech"].astype(DTYPE), (t1.shape[0], 1, cfg.target_dim))
+    x = jnp.concatenate([start, T._embed_target(params, cfg, t1, t2, DTYPE)], axis=1)
+    dec_mask = jnp.ones(x.shape[:2], bool)
+    hiddens = []
+    for lp in params["target_layers"]:
+        x = T._self_attn_full(lp["self_attn"], x, cfg.heads, mask=dec_mask, causal=True) + x
+        ckv = T._context_kv(lp["cross_attn"], context, cfg.heads)
+        x = T._cross_attn(lp["cross_attn"], x, ckv, cfg.heads, context_mask=smask) + x
+        x = T._ff(lp["ff"], x) + x
+        hiddens.append(x)
+    xf = L.rmsnorm(params["target_final_norm"], x)
+    half = cfg.target_dim // 2
+    f1 = jnp.argmax(T._sem_logits(params, xf[..., :half], DTYPE), axis=-1)
+    f2 = jnp.argmax(T._sem_logits(params, xf[..., half:], DTYPE), axis=-1)
+    early = hiddens[cfg.target_early_exit_layer - 1]
+    ee = params["early_exit"]
+    hn = L.rmsnorm(ee["norm"], early + T._ff(ee["ff"], early))
+    d1 = jnp.argmax(L.linear(ee["to_logits"], hn).astype(jnp.float32), axis=-1)
+    d2 = jnp.argmax(L.linear(ee["to_logits2"], hn).astype(jnp.float32), axis=-1)
+    a1 = float(jnp.mean((d1 == f1).astype(jnp.float32)))
+    a2 = float(jnp.mean((d2 == f2).astype(jnp.float32)))
+    print(f"# ee-vs-full teacher-forced argmax agreement: stream1 {a1:.1%} stream2 {a2:.1%}",
+          flush=True)
+
+
 def measure(params, cfg, src, tag):
     b = src.shape[0]
+    # same stopping rule for both paths (greedy EOS) — min_length would force
+    # greedy to decode MAXLEN while spec stops at EOS, skewing the comparison
     gen = jax.jit(functools.partial(
         T.generate, cfg=cfg, max_length=MAXLEN, temperature=1e-10, top_k_thres=1.0,
-        min_length=MAXLEN, dtype=DTYPE))
+        dtype=DTYPE))
     spec = jax.jit(functools.partial(
         T.generate_speculative, cfg=cfg, max_length=MAXLEN, gamma=GAMMA, dtype=DTYPE))
 
@@ -136,7 +173,8 @@ def main():
     print(f"# fit {steps} steps in {time.time() - t0:.0f}s, final loss {float(loss):.4f}",
           flush=True)
 
-    text, _ = synthetic_batch(jax.random.PRNGKey(7), cfg, 8, 24, 96)
+    text, tgt = synthetic_batch(jax.random.PRNGKey(7), cfg, 8, 24, 96)
+    retry(lambda: ee_agreement(params, cfg, text, tgt), "ee agreement")
     measure(params, cfg, text, "realistic (400-step fit)")
 
 

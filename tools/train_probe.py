@@ -141,6 +141,27 @@ try:
 finally:
     A.attend_flash_or_xla = orig_attend
 
+
+# flash-vs-XLA at the TRAINING shape: attention is ~1.5% of step FLOPs but
+# ~22% of step time, i.e. the flash fwd+bwd runs at single-digit TFLOP/s
+# here (vs 18-20 isolated at serving shape). If the plain einsum bwd is
+# faster at B=8/T=800, training should take the XLA path.
+def xla_attend(q, k, v, key_mask=None, valid_len=None, causal=False, **kw):
+    t = q.shape[-2]
+    if key_mask is None and valid_len is not None:
+        key_mask = jnp.arange(t)[None, :] < jnp.asarray(valid_len).reshape(-1)[:, None]
+        key_mask = jnp.broadcast_to(key_mask, (q.shape[0], t))
+    return LY.attend(q, k, v, key_mask=key_mask, causal=causal)
+
+
+import covomix_tpu.models.layers as LY  # noqa: E402
+
+A.attend_flash_or_xla = xla_attend
+try:
+    w_xlaattn = retry(make_injit("in-jit xla-attn"), "xla-attn")
+finally:
+    A.attend_flash_or_xla = orig_attend
+
 import covomix_tpu.models.layers as LY
 
 orig_conv = LY.conv1d
@@ -154,4 +175,5 @@ print(f"\nsummary: dispatch-overhead {(w_disp - w_full):.1f} ms/step, "
       f"gelu-exact-vs-tanh {(w_full - w_act['tanh-gelu']) / w_full:.1%}, "
       f"all-activation {(w_full - w_act['id-act']) / w_full:.1%}, "
       f"attention(fwd+bwd) {(w_full - w_noattn) / w_full:.1%}, "
+      f"xla-attn-vs-flash {(w_full - w_xlaattn) / w_full:+.1%}, "
       f"conv-pos {(w_full - w_noconv) / w_full:.1%}", flush=True)
