@@ -141,3 +141,47 @@ def test_two_output_early_exit_loss_trains_second_head(params2):
     g = jax.grad(lambda p: T.forward_loss(p, CFG2, src, tgt))(params2)
     assert float(jnp.abs(g["early_exit"]["to_logits"]["w"]).sum()) > 0
     assert float(jnp.abs(g["early_exit"]["to_logits2"]["w"]).sum()) > 0
+
+
+def test_speculative_acceptance_reaches_max_on_decodable_pattern():
+    """Acceptance regression: a model fitted on a fully-DECODABLE pattern
+    (purely positional — greedy decode stays on the training distribution)
+    must accept near the gamma+1 ceiling, i.e. rounds << tokens. Guards the
+    draft path end-to-end: a positional offset, cache-staleness, or head-
+    pairing bug would keep output exact (the verify corrects everything) but
+    silently pin acceptance at 1 tok/round."""
+    import optax
+
+    cfg = T.T2SConfig(dim=48, source_depth=1, target_depth=2, heads=2, dim_head=16,
+                      num_text_tokens=40, num_semantic_tokens=12, target_dim=64,
+                      two_output=True, target_early_exit_layer=1)
+    params = T.init(jax.random.PRNGKey(0), cfg)
+
+    def batch(key, b, s, t):
+        text = jax.random.randint(key, (b, s), 1, 40)
+        tgt = jnp.broadcast_to((3 + jnp.arange(t)[None, :]) % cfg.num_semantic_tokens, (b, t))
+        return text, jnp.stack([tgt, tgt], axis=-1).astype(jnp.int32)
+
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, key):
+        text, tgt = batch(key, 8, 5, 16)
+        loss, g = jax.value_and_grad(lambda p: T.forward_loss(p, cfg, text, tgt))(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    loss = None
+    for i in range(250):
+        params, opt, loss = step(params, opt, jax.random.PRNGKey(100 + i))
+    assert float(loss) < 0.2, f"fit did not converge (loss {float(loss)})"
+
+    text, _ = batch(jax.random.PRNGKey(7), 3, 5, 16)
+    rs = T.generate_speculative(params, cfg, text, max_length=24, gamma=3)
+    lens = np.asarray(jnp.minimum(rs.lengths, rs.lengths2))
+    rounds = int(rs.num_steps)
+    # 17 tokens (16 + EOS) at gamma=3 -> >= 5 rounds ideal; require well under
+    # one round per token (the bug mode is rounds == tokens)
+    assert lens.min() == 17
+    assert rounds <= lens.mean() / 2, f"acceptance collapsed: {rounds} rounds for {lens.mean()} tokens"

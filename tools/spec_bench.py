@@ -123,13 +123,16 @@ def measure(params, cfg, src, tag):
 
 
 def synthetic_batch(key, cfg, b, s, t):
-    """Deterministic text->token pattern both the full depth and the ee head
-    can learn quickly: token[i] = (sum(text) + i) % vocab, same on both
-    streams."""
+    """Deterministic, fully DECODABLE pattern: token[i] = (7 + i) % vocab,
+    same on both streams. Purely positional on purpose — an earlier variant
+    derived the start offset from sum(text), which greedy decode cannot infer
+    at position 0; the decode then leaves the training distribution at step 0
+    and ee/full argmax diverge on the degenerate trajectory, reading as 0%
+    acceptance even though the decoder is exact (verified: the positional
+    pattern reaches 5.00 tok/round = gamma+1, i.e. 100% acceptance)."""
     ktxt, = jax.random.split(key, 1)
     text = jax.random.randint(ktxt, (b, s), 1, 100)
-    base = jnp.sum(text, axis=1, keepdims=True)
-    tgt = (base + jnp.arange(t)[None, :]) % cfg.num_semantic_tokens
+    tgt = jnp.broadcast_to((7 + jnp.arange(t)[None, :]) % cfg.num_semantic_tokens, (b, t))
     return text, jnp.stack([tgt, tgt], axis=-1).astype(jnp.int32)
 
 
