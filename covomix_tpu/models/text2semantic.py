@@ -424,8 +424,12 @@ def generate(
 
     inv = L.rotary_freqs(dh)
 
-    cache_k = jnp.zeros((depth, bb, heads, max_length, dh), dtype)
-    cache_v = jnp.zeros((depth, bb, heads, max_length, dh), dtype)
+    # per-layer cache tuples (NOT one stacked [depth, ...] array): a stacked
+    # cache forces a jnp.stack per decode step — a full-cache copy inside the
+    # while_loop (~67 MB/step at the serving shape); tuple entries are
+    # loop-carried leaves XLA updates in place via dynamic_update_slice
+    cache_k = tuple(jnp.zeros((bb, heads, max_length, dh), dtype) for _ in range(depth))
+    cache_v = tuple(jnp.zeros((bb, heads, max_length, dh), dtype) for _ in range(depth))
     tokens1 = jnp.full((b, max_length), pad, jnp.int32)
     tokens2 = jnp.full((b, max_length), pad, jnp.int32)
     done1 = jnp.zeros((b,), bool)
@@ -459,7 +463,7 @@ def generate(
             x = _cross_attn(lp["cross_attn"], x, cross_kvs[li], heads, context_mask=source_mask_all) + x
             x = _ff(lp["ff"], x) + x
         x = L.rmsnorm(params["target_final_norm"], x)[:, 0]  # [bb, tdim]
-        return x, jnp.stack(new_ck), jnp.stack(new_cv)
+        return x, tuple(new_ck), tuple(new_cv)
 
     def head_logits(h):
         if cfg.two_output:
@@ -613,8 +617,11 @@ def generate_speculative(
     cross_kvs = [_context_kv(lp["cross_attn"], context, heads) for lp in params["target_layers"]]
     inv = L.rotary_freqs(dh)
 
-    cache_k = jnp.zeros((depth, b, heads, CL, dh), dtype)
-    cache_v = jnp.zeros((depth, b, heads, CL, dh), dtype)
+    # per-layer cache tuples — same rationale as `generate`: a stacked
+    # [depth, ...] cache costs a full-stack copy per .at[li].set inside the
+    # loop; tuple leaves alias in place
+    cache_k = tuple(jnp.zeros((b, heads, CL, dh), dtype) for _ in range(depth))
+    cache_v = tuple(jnp.zeros((b, heads, CL, dh), dtype) for _ in range(depth))
     tokens1 = jnp.full((b, CL), pad, jnp.int32)
     tokens2 = jnp.full((b, CL), pad, jnp.int32)
     lens = jnp.zeros((b,), jnp.int32)      # positions accepted per row
@@ -647,12 +654,12 @@ def generate_speculative(
         """Draft layers 1..E + early-exit head(s). Returns (tok1, tok2, caches)."""
         e = _embed_target(params, cfg, prev1, prev2, dtype)  # [b, tdim]
         x = jnp.where((pos_b == 0)[:, None], params["start_speech"].astype(dtype)[None, :], e)[:, None, :]
-        new_k, new_v = cache_k, cache_v
+        new_k, new_v = list(cache_k), list(cache_v)
         for li in range(early):
             lp = params["target_layers"][li]
             x, ck, cv = layer_step_single(lp, x, new_k[li], new_v[li], pos_b)
-            new_k = new_k.at[li].set(ck)
-            new_v = new_v.at[li].set(cv)
+            new_k[li] = ck
+            new_v[li] = cv
             x = _cross_attn(lp["cross_attn"], x, cross_kvs[li], heads, context_mask=source_mask) + x
             x = _ff(lp["ff"], x) + x
         ee = params["early_exit"]
@@ -664,21 +671,22 @@ def generate_speculative(
             t2 = jnp.argmax(l2, axis=-1).astype(jnp.int32)
         else:
             t2 = t1
-        return t1, t2, new_k, new_v
+        return t1, t2, tuple(new_k), tuple(new_v)
 
     def verify(drafts1, drafts2, lens, tokens1, tokens2, cache_k, cache_v):
         """Full-depth forward over gamma+1 per-row positions lens..lens+gamma.
         Input tokens at those positions: [token[lens-1], drafts...]."""
         span = gamma + 1
-        prev1 = jax.vmap(lambda t, l: t[jnp.maximum(l - 1, 0)])(tokens1, lens)
-        prev2 = jax.vmap(lambda t, l: t[jnp.maximum(l - 1, 0)])(tokens2, lens)
+        prev_hot = (pos_idx[None, :] == jnp.maximum(lens - 1, 0)[:, None]).astype(jnp.int32)
+        prev1 = jnp.sum(tokens1 * prev_hot, axis=1)
+        prev2 = jnp.sum(tokens2 * prev_hot, axis=1)
         in1 = jnp.concatenate([prev1[:, None], drafts1], axis=1)  # [B, span]
         in2 = jnp.concatenate([prev2[:, None], drafts2], axis=1)
         e = _embed_target(params, cfg, in1, in2, dtype)           # [B, span, tdim]
         start = jnp.broadcast_to(params["start_speech"].astype(dtype), (b, cfg.target_dim))
         e = e.at[:, 0].set(jnp.where((lens == 0)[:, None], start, e[:, 0]))
         x = e
-        new_k, new_v = cache_k, cache_v
+        new_k, new_v = list(cache_k), list(cache_v)
         for li, lp in enumerate(params["target_layers"]):
             h = L.rmsnorm(lp["self_attn"]["norm"], x)
             q = L.split_heads(L.linear(lp["self_attn"]["q"], h), heads)
@@ -688,8 +696,8 @@ def generate_speculative(
             k_new = _rotary_at_span(lens, inv, k_new)
             ck = _write_cache_at(new_k[li], k_new, lens)
             cv = _write_cache_at(new_v[li], v_new, lens)
-            new_k = new_k.at[li].set(ck)
-            new_v = new_v.at[li].set(cv)
+            new_k[li] = ck
+            new_v[li] = cv
             # causal over the cache: query at lens+j sees keys <= lens+j
             qpos = lens[:, None] + jnp.arange(span)[None, :]               # [B, span]
             kmask = pos_idx[None, None, :] <= qpos[:, :, None]             # [B, span, L]
@@ -709,7 +717,7 @@ def generate_speculative(
         else:
             f1 = jnp.argmax(_sem_logits(params, x, dtype), axis=-1).astype(jnp.int32)
             f2 = f1
-        return f1, f2, new_k, new_v  # greedy full-model tokens [B, span]
+        return f1, f2, tuple(new_k), tuple(new_v)  # greedy full-model tokens [B, span]
 
     def cond_fn(state):
         _, _, lens, done1, done2, _, _, _, _, it = state
@@ -719,14 +727,19 @@ def generate_speculative(
         active = ~(done1 & done2) & (lens < max_length)
         return jnp.any(active) & (it < max_length)
 
+    span_idx = jnp.arange(gamma + 1)
+
     def body_fn(state):
         tokens1, tokens2, lens, done1, done2, p1, p2, cache_k, cache_v, it = state
         # ---- draft gamma token (pairs) sequentially with the early model
         drafts1 = jnp.zeros((b, gamma), jnp.int32)
         drafts2 = jnp.zeros((b, gamma), jnp.int32)
         dk, dv = cache_k, cache_v
-        prev1 = jax.vmap(lambda t, l: t[jnp.maximum(l - 1, 0)])(tokens1, lens)
-        prev2 = jax.vmap(lambda t, l: t[jnp.maximum(l - 1, 0)])(tokens2, lens)
+        # prev token via one-hot reduce (per-row gathers lower to scatter/
+        # gather ops that stall on this stack; [B, CL] compare+sum is cheap)
+        prev_hot = (pos_idx[None, :] == jnp.maximum(lens - 1, 0)[:, None]).astype(jnp.int32)
+        prev1 = jnp.sum(tokens1 * prev_hot, axis=1)
+        prev2 = jnp.sum(tokens2 * prev_hot, axis=1)
         for j in range(gamma):
             t1_j, t2_j, dk, dv = draft_one(prev1, prev2, lens + j, dk, dv)
             drafts1 = drafts1.at[:, j].set(t1_j)
@@ -741,18 +754,24 @@ def generate_speculative(
             match = match & (drafts2 == full2[:, :gamma])
         n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
         active = ~(done1 & done2) & (lens < max_length)
-        take = jnp.arange(gamma + 1)[None, :] <= n_acc[:, None]             # [B, gamma+1]
+        take = span_idx[None, :] <= n_acc[:, None]                          # [B, gamma+1]
         take = take & active[:, None]
-        starts = jnp.minimum(lens, CL - gamma - 1)
+        bonus_hot = span_idx[None, :] == n_acc[:, None]                     # [B, gamma+1]
+        rel = pos_idx[None, :] - lens[:, None]                              # [B, CL]
 
         def write_stream(tokens, drafts, full):
-            bonus = jax.vmap(lambda f, n: f[n])(full, n_acc)                # [B]
+            bonus = jnp.sum(full * bonus_hot, axis=1)                       # [B]
             out_span = jnp.concatenate([drafts, jnp.zeros((b, 1), jnp.int32)], axis=1)
-            out_span = jax.vmap(lambda row, n, bo: row.at[n].set(bo))(out_span, n_acc, bonus)
-            cur = jax.vmap(lambda t, l: jax.lax.dynamic_slice(t, (l,), (gamma + 1,)))(tokens, starts)
-            new_span = jnp.where(take, out_span, cur)
-            tokens = jax.vmap(lambda t, s, l: jax.lax.dynamic_update_slice(t, s, (l,)))(tokens, new_span, starts)
-            return tokens, new_span
+            out_span = jnp.where(bonus_hot, bonus[:, None], out_span)       # [B, gamma+1]
+            # scatter accepted span into the token buffer via masked select
+            # (positions lens..lens+n_acc); untaken slots keep old values so
+            # first_eos only ever sees take-masked entries
+            scattered = jnp.zeros_like(tokens)
+            for s in range(gamma + 1):
+                scattered = scattered + jnp.where(rel == s, out_span[:, s:s + 1], 0)
+            inspan = (rel >= 0) & (rel <= n_acc[:, None]) & active[:, None]
+            tokens = jnp.where(inspan, scattered, tokens)
+            return tokens, out_span
 
         tokens1, span1 = write_stream(tokens1, drafts1, full1)
         if two:

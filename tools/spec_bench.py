@@ -93,7 +93,7 @@ def ee_agreement(params, cfg, text, tgt):
           flush=True)
 
 
-def measure(params, cfg, src, tag):
+def measure(params, cfg, src, tag, gamma=GAMMA):
     b = src.shape[0]
     # same stopping rule for both paths (greedy EOS) — min_length would force
     # greedy to decode MAXLEN while spec stops at EOS, skewing the comparison
@@ -101,7 +101,7 @@ def measure(params, cfg, src, tag):
         T.generate, cfg=cfg, max_length=MAXLEN, temperature=1e-10, top_k_thres=1.0,
         dtype=DTYPE))
     spec = jax.jit(functools.partial(
-        T.generate_speculative, cfg=cfg, max_length=MAXLEN, gamma=GAMMA, dtype=DTYPE))
+        T.generate_speculative, cfg=cfg, max_length=MAXLEN, gamma=gamma, dtype=DTYPE))
 
     wg, rg = retry(lambda: wall(lambda: gen(params, key=jax.random.PRNGKey(0), source_ids=src)),
                    f"{tag} greedy")
@@ -112,7 +112,7 @@ def measure(params, cfg, src, tag):
     # per verify round each ACTIVE row advances n_acc+1 positions; average
     # accepted drafts per round (the acceptance-rate proxy):
     per_round = float(lens.mean()) / max(iters, 1.0)
-    acc_rate = max(0.0, (per_round - 1.0) / GAMMA)
+    acc_rate = max(0.0, (per_round - 1.0) / gamma)
     gtoks = float(np.minimum(np.asarray(rg.lengths), np.asarray(rg.lengths2)).sum())
     stoks = float(lens.sum())
     print(f"{tag}: B={b} greedy {wg:.3f}s ({gtoks / wg:.0f} tok/s, "
@@ -178,7 +178,8 @@ def main():
 
     text, tgt = synthetic_batch(jax.random.PRNGKey(7), cfg, 8, 24, 96)
     retry(lambda: ee_agreement(params, cfg, text, tgt), "ee agreement")
-    measure(params, cfg, text, "realistic (400-step fit)")
+    for g in (2, 4, 8):
+        measure(params, cfg, text, f"realistic gamma={g}", gamma=g)
 
 
 if __name__ == "__main__":
