@@ -280,8 +280,8 @@ def gelu(x):
 
     Exact erf for f32+ compute (the torch nn.GELU default every parity budget
     is checked against); tanh approximation for sub-f32 compute dtypes. Under
-    bf16 the erf/tanh difference (max ~1.2e-3 absolute around |x|~2, ~6e-4
-    relative on the output scale) is BELOW bf16's own rounding (eps 7.8e-3),
+    bf16 the erf/tanh difference (max ~4.7e-4 absolute around |x|~2.7) is
+    BELOW bf16's own rounding (eps 7.8e-3),
     while the exact-erf chain costs a measured ~12-15% of the whole acoustic
     flow-stage field eval on v5e (tools/flow_probe.py 2026-08-19: tanh /
     sigmoid / identity activations land within noise of each other; only the

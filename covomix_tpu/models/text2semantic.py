@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from covomix_tpu.models import layers as L
 from covomix_tpu.ops import sampling as S
+from covomix_tpu.ops.flash_attention import attend_flash_or_xla
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,8 +161,16 @@ def _ff(p, x):
     return L.linear(p["w2"], L.geglu(h))
 
 
-def _self_attn_full(p, x, heads, *, mask=None, causal=False, rotary=True):
-    """Full-sequence self-attention (training / encoder)."""
+def _self_attn_full(p, x, heads, *, mask=None, causal=False, rotary=True,
+                    prefix_lens=None):
+    """Full-sequence self-attention (training / encoder).
+
+    `prefix_lens` ([B] int): when the key-padding mask is a PREFIX mask
+    (right-padded batches — the collate contract, data_module.py:853), pass
+    the per-row valid lengths instead of `mask` and the attention routes
+    through the Pallas flash kernel on TPU (incl. causal; ops/
+    flash_attention.py) — the T2S training hot path. An arbitrary bool
+    `mask` keeps the XLA einsum path."""
     h = L.rmsnorm(p["norm"], x)
     q = L.split_heads(L.linear(p["q"], h), heads)
     k, v = jnp.split(L.linear(p["kv"], h), 2, axis=-1)
@@ -170,7 +179,10 @@ def _self_attn_full(p, x, heads, *, mask=None, causal=False, rotary=True):
         inv = L.rotary_freqs(q.shape[-1])
         pos = jnp.arange(x.shape[1])
         q, k = L.rotary_interleaved(pos, inv, q), L.rotary_interleaved(pos, inv, k)
-    out = L.attend(q, k, v, key_mask=mask, causal=causal)
+    if prefix_lens is not None and mask is None:
+        out = attend_flash_or_xla(q, k, v, valid_len=prefix_lens, causal=causal)
+    else:
+        out = L.attend(q, k, v, key_mask=mask, causal=causal)
     return L.linear(p["out"], L.merge_heads(out))
 
 
@@ -196,14 +208,18 @@ def _context_kv(p_cross, context, heads):
     return L.split_heads(k, heads), L.split_heads(v, heads)
 
 
-def encode_source(params, cfg: T2SConfig, source_emb, source_mask, dtype=jnp.float32):
+def encode_source(params, cfg: T2SConfig, source_emb, source_mask, dtype=jnp.float32,
+                  prefix_lens=None):
     """Source transformer (non-causal, rotary) + final RMSNorm
-    (text2semantic.py:274-375, :556-570)."""
+    (text2semantic.py:274-375, :556-570). `prefix_lens`: flash-kernel route
+    for right-padded batches (see _self_attn_full)."""
     x = source_emb.astype(dtype)
     if cfg.no_source_transformer:
         return x  # empty_identity_encoder (text2semantic.py:385-400)
+    mask = None if prefix_lens is not None else source_mask
     for lp in params["source_layers"]:
-        x = _self_attn_full(lp["self_attn"], x, cfg.heads, mask=source_mask) + x
+        x = _self_attn_full(lp["self_attn"], x, cfg.heads, mask=mask,
+                            prefix_lens=prefix_lens) + x
         x = _ff(lp["ff"], x) + x
     return L.rmsnorm(params["source_final_norm"], x)
 
@@ -257,6 +273,9 @@ def forward_loss(
     reference's bert_init_emb/t5_init_emb collate option, data_module.py:
     918-930 + text2semantic.py:880-883): embeddings computed offline (or by
     any encoder) are fed directly with an explicit `source_mask`."""
+    # a caller-supplied source_mask may be arbitrary; only masks this function
+    # derives from right-padded ids are provably prefix masks (flash-eligible)
+    mask_is_prefix = source_mask is None and source_emb is None
     if source_emb is not None:
         assert source_mask is not None, "precomputed source_emb requires source_mask"
         source_ids = None
@@ -280,12 +299,20 @@ def forward_loss(
         t2 = t1
 
     target_mask = t1 != cfg.semantic_pad_id
-    # attend to BOS (text2semantic.py:934-938)
-    dec_mask = jnp.concatenate([jnp.ones((t1.shape[0], 1), bool), target_mask], axis=-1)
+    # attend to BOS (text2semantic.py:934-938). Batches are right-padded (the
+    # collate contract, data_module.py:853), so the pad masks are PREFIX
+    # masks; expressing them as per-row valid lengths keeps the decoder's
+    # causal self-attention on the Pallas flash kernel on TPU instead of the
+    # masked-einsum fallback (the T2S training hot path — 22% of step time at
+    # the CoMix recipe shape before this, NOTES_r4.md).
+    dec_lens = 1 + jnp.sum(target_mask, axis=-1, dtype=jnp.int32)
+    src_lens = (jnp.sum(source_mask, axis=-1, dtype=jnp.int32)
+                if mask_is_prefix else None)
 
     if source_emb is None:
         source_emb = embed_source(params, cfg, source_ids, dtype)
-    context = encode_source(params, cfg, source_emb, source_mask, dtype)
+    context = encode_source(params, cfg, source_emb, source_mask, dtype,
+                            prefix_lens=src_lens)
 
     context_mask = source_mask
     if cfg.classifier_free_guidance and cond_drop and key is not None:
@@ -298,7 +325,8 @@ def forward_loss(
     x = tgt_in
     hiddens = []
     for lp in params["target_layers"]:
-        x = _self_attn_full(lp["self_attn"], x, cfg.heads, mask=dec_mask, causal=True) + x
+        x = _self_attn_full(lp["self_attn"], x, cfg.heads, causal=True,
+                            prefix_lens=dec_lens) + x
         ckv = _context_kv(lp["cross_attn"], context, cfg.heads)
         x = _cross_attn(lp["cross_attn"], x, ckv, cfg.heads, context_mask=context_mask) + x
         x = _ff(lp["ff"], x) + x

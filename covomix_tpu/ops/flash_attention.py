@@ -93,16 +93,22 @@ def _fold_scale(q, scale: float):
 
 
 def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int, kv_len: int,
-                  scale: float):
+                  scale: float, causal: bool = False):
     # valid_ref: SMEM scalar-prefetch [1] or [B] int32 — keys >= valid_len
     # are padding and masked out (dynamic, so bucketed serving reuses ONE
     # compiled kernel across true lengths). q_ref [1, hb, block_q, dh];
     # k_ref/v_ref [1, hb, kv_len, dh]; o_ref [1, hb, block_q, dh].
     # Optional lse_ref [1, hb, block_q]: per-row logsumexp (m + log l),
     # saved for the training backward pass.
+    # causal (static): additionally mask key j > query i (tq == tk
+    # self-attention indexing — the T2S training decoder, attend_t2s.py
+    # semantics at q_offset 0). Row 0 always has key 0 live, so no row is
+    # ever fully masked.
     _, hb, block_q, dh = q_ref.shape
     q, scale = _fold_scale(q_ref[0], scale)
     valid_len = _read_valid(valid_ref)
+    row_ids = (pl.program_id(2) * block_q
+               + jax.lax.broadcasted_iota(jnp.int32, (1, block_q, 1), 1))
 
     num_kb = kv_len // block_k
 
@@ -116,21 +122,34 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int,
         # a fully-masked row would softmax uniformly instead of to zeros, but
         # valid_len >= 1 always holds on the serving paths and rows past
         # valid_len are garbage-by-contract anyway (callers trim).
-        s = jax.lax.dot_general(q, k_ref[0], (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        if scale != 1.0:
-            s = s * scale
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_k), 2)
-        s = jnp.where(cols < valid_len, s, -1e30)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        acc = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
-                                  (((2,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=jnp.float32)
-        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-        if lse_ref:
-            lse_ref[0][0] = m + jnp.log(jnp.maximum(l, 1e-30))
+        #
+        # The heads in the block are UNROLLED as independent 2-D dot/softmax
+        # chains rather than one hb-batched 3-D dot: the chains have no data
+        # dependence, so Mosaic's scheduler overlaps head i's softmax (VPU)
+        # with head i+1's dots (MXU) — the batched dot serializes MXU and VPU
+        # phases. Measured at the B=64 serving shape (b2=128, T=1024, v5e
+        # 2026-08-19, tools/attn_ctx_probe.py): 55.2 TFLOP/s unrolled
+        # (bq=512, hb=4) vs 47.8 for the batched one-shot at the old
+        # (bq=256, hb=2) default — bit-identical outputs.
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        live2 = cols2 < valid_len
+        if causal:
+            live2 = live2 & (cols2 <= row_ids[0])  # [bq, 1] x [1, bk]
+        for hh in range(hb):
+            s = jax.lax.dot_general(q[hh], k_ref[0, hh], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if scale != 1.0:
+                s = s * scale
+            s = jnp.where(live2, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, hh],
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            o_ref[0, hh] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+            if lse_ref:
+                lse_ref[0][0, hh] = m + jnp.log(jnp.maximum(l, 1e-30))
         return
 
     # The K-block loop unrolls via _blocked_loop (see MAX_UNROLL — full
@@ -149,7 +168,10 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int,
             s = s * scale
         v = v_ref[0, :, pl.ds(kb * block_k, block_k), :]
         cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_k), 2)
-        s = jnp.where(cols < valid_len, s, -1e30)
+        live = cols < valid_len
+        if causal:
+            live = live & (cols <= row_ids)
+        s = jnp.where(live, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -170,7 +192,7 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int,
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    *, valid_len=None,
+                    *, valid_len=None, causal: bool = False,
                     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
                     head_block: int = DEFAULT_HEAD_BLOCK,
                     interpret: bool = False) -> jnp.ndarray:
@@ -195,9 +217,15 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, h, t, dh = q.shape
     if valid_len is None:
         valid_len = t
-    valid_arr = jnp.asarray(valid_len, jnp.int32).reshape(-1)
+    # Clamp to >= 1: the kernels mask pre-exp (s -> -1e30), so valid_len == 0
+    # would softmax UNIFORMLY over garbage keys instead of producing zeros —
+    # silently-plausible output on a caller bug. With the clamp a degenerate
+    # row attends key 0 only (still garbage-by-contract, but defined).
+    valid_arr = jnp.maximum(jnp.asarray(valid_len, jnp.int32).reshape(-1), 1)
     assert valid_arr.shape[0] in (1, b), f"valid_len must be scalar or [B]; got {valid_arr.shape}"
-    cfg = (block_q, block_k, head_block, interpret)
+    if causal:
+        assert q.shape[-2] == k.shape[-2], "causal flash requires tq == tk (training self-attention)"
+    cfg = (block_q, block_k, head_block, interpret, causal)
     return _flash_core(cfg, valid_arr, q, k, v)
 
 
@@ -208,7 +236,7 @@ def _resolve_blocks(cfg, t, h, dtype):
     if the smaller block did not divide tp (e.g. t=600 -> block_q=640,
     block_k=512, tp=640), the tail key columns would silently never be
     attended (0.28 max-abs error vs einsum, found by review r3)."""
-    block_q, block_k, head_block, interpret = cfg
+    block_q, block_k, head_block, interpret = cfg[:4]
     if cfg[:3] == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, DEFAULT_HEAD_BLOCK):
         # DEFAULT config + the whole key row fits one block: take the
         # ONE-SHOT kernel path (no online-softmax carry), the fastest
@@ -219,8 +247,16 @@ def _resolve_blocks(cfg, t, h, dtype):
         # the 16 MB scope. Explicit caller block configs are respected.
         tp1 = round_up(t, 128)
         if tp1 <= (2048 if dtype.itemsize <= 2 else 1024):
-            bq = 256 if tp1 % 256 == 0 else 128   # must divide tp (floored loop)
-            return min(bq, tp1), tp1, 2 if h % 2 == 0 else 1, interpret, tp1
+            # block_q 512 when it divides tp (47.8 -> 52.5 TFLOP/s at the B=64
+            # serving shape, tools/attn_ctx_probe.py 2026-08-19); past tp=1024
+            # the wider per-head f32 score rows overflow scoped VMEM with the
+            # unrolled-head chains in flight, so fall back to 256/128.
+            if tp1 % 512 == 0 and tp1 <= 1024:
+                bq = 512
+            else:
+                bq = 256 if tp1 % 256 == 0 else 128   # must divide tp (floored loop)
+            hb = 4 if h % 4 == 0 else (2 if h % 2 == 0 else 1)
+            return min(bq, tp1), tp1, hb, interpret, tp1
     if dtype.itemsize >= 4:
         # f32 q/k/v doubles the VMEM footprint of the in-kernel blocks; the
         # 16 MB scoped-vmem limit fits 1024-wide blocks only for <=2-byte
@@ -255,7 +291,9 @@ def _flash_forward(cfg, valid_arr, q, k, v, with_lse: bool = False):
         v = jnp.pad(v, pad)
     scale = dh ** -0.5
 
-    kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=tp, scale=scale)
+    causal = bool(cfg[4]) if len(cfg) > 4 else False
+    kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=tp, scale=scale,
+                               causal=causal)
     grid = (b, h // head_block, tp // block_q)
 
     out_shape = jax.ShapeDtypeStruct((b, h, tp, dh), q.dtype)
@@ -301,8 +339,11 @@ def _flash_forward(cfg, valid_arr, q, k, v, with_lse: bool = False):
 
 
 def _flash_bwd_dq_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                         dq_ref, *, block_k: int, kv_len: int, scale: float):
+                         dq_ref, *, block_k: int, kv_len: int, scale: float,
+                         causal: bool = False):
     _, hb, block_q, dh = q_ref.shape
+    row_ids = (pl.program_id(2) * block_q
+               + jax.lax.broadcasted_iota(jnp.int32, (1, block_q, 1), 1))
     # scale folded into q where exact (power of two); s comes out identical
     # and the trailing dq * scale is the chain-rule factor, unchanged
     q, s_scale = _fold_scale(q_ref[0], scale)
@@ -325,7 +366,10 @@ def _flash_bwd_dq_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
         if s_scale != 1.0:
             s = s * s_scale
         cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_k), 2)
-        p = jnp.exp(jnp.where(cols < valid_len, s, -1e30) - lse)
+        live = cols < valid_len
+        if causal:
+            live = live & (cols <= row_ids)
+        p = jnp.exp(jnp.where(live, s, -1e30) - lse)
         dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
@@ -337,7 +381,8 @@ def _flash_bwd_dq_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
 
 
 def _flash_bwd_dkv_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dk_ref, dv_ref, *, block_q: int, q_len: int, scale: float):
+                          dk_ref, dv_ref, *, block_q: int, q_len: int, scale: float,
+                          causal: bool = False):
     # grid over KV blocks: k_ref/v_ref [1, hb, block_k, dh]; q/do/lse/delta
     # are full-length.
     _, hb, block_k, dh = k_ref.shape
@@ -364,7 +409,13 @@ def _flash_bwd_dkv_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta
                                  preferred_element_type=jnp.float32)
         if s_scale != 1.0:
             st = st * s_scale
-        pt = jnp.exp(jnp.where(key_live, st, -1e30) - lse)
+        live = key_live
+        if causal:
+            # transposed layout: rows (dim 1) are KEY positions, cols (dim 2)
+            # are QUERY positions — key row attends only queries >= it
+            q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_q), 2)
+            live = live & (q_pos >= rows)
+        pt = jnp.exp(jnp.where(live, st, -1e30) - lse)
         dv_new = dv + jax.lax.dot_general(pt.astype(do.dtype), do, (((2,), (1,)), ((0,), (0,))),
                                           preferred_element_type=jnp.float32)
         dpt = jax.lax.dot_general(v, do, (((2,), (2,)), ((0,), (0,))),
@@ -387,6 +438,7 @@ def _flash_backward(cfg, valid_arr, q, k, v, out, lse, g):
     # up to 2 K-blocks; past that (chunked loop + full-length q/do resident
     # in the dkv kernel) drop to 256
     cap = 512 if t <= 1024 else 256
+    causal = bool(cfg[4]) if len(cfg) > 4 else False
     block_q, block_k, head_block, interpret, tp = _resolve_blocks(
         (min(cfg[0], cap), min(cfg[1], cap), cfg[2], cfg[3]), t, h, q.dtype)
     if tp != t:
@@ -407,7 +459,8 @@ def _flash_backward(cfg, valid_arr, q, k, v, out, lse, g):
     full3 = pl.BlockSpec((1, 1, head_block, tp), lambda bb, hh, i, *_: (bb, hh, 0, 0), memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, kv_len=tp, scale=scale),
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, kv_len=tp, scale=scale,
+                          causal=causal),
         out_shape=jax.ShapeDtypeStruct((b, h, tp, dh), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -424,7 +477,8 @@ def _flash_backward(cfg, valid_arr, q, k, v, out, lse, g):
     )(valid_arr, q, k, v, g, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, q_len=tp, scale=scale),
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, q_len=tp, scale=scale,
+                          causal=causal),
         out_shape=(jax.ShapeDtypeStruct((b, h, tp, dh), q.dtype),
                    jax.ShapeDtypeStruct((b, h, tp, dh), q.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -487,18 +541,20 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 def attend_flash_or_xla(q, k, v, *, key_mask=None, valid_len=None, causal=False,
                         min_seq_for_flash: int = 512):
-    """Dispatch: dense non-causal attention on TPU with T >= threshold and
-    tileable shapes goes through the Pallas kernel — including prefix-masked
-    bucket padding expressed as `valid_len` (scalar, or [B] per-row; the
-    production serving paths). Arbitrary boolean `key_mask`, causal, small-T,
-    and non-TPU cases use the XLA einsum path."""
+    """Dispatch: dense attention on TPU with T >= threshold and tileable
+    shapes goes through the Pallas kernel — non-causal (the acoustic flow
+    stack) AND causal self-attention (tq == tk, the T2S training decoder) —
+    with prefix masking expressed as `valid_len` (scalar, or [B] per-row; the
+    production serving/training paths). Arbitrary boolean `key_mask`,
+    causal-with-cache (tq != tk), small-T, and non-TPU cases use the XLA
+    einsum path."""
     from covomix_tpu.models.layers import attend
 
     t = q.shape[-2]
     on_tpu = jax.devices()[0].platform == "tpu"
-    if (key_mask is None and not causal and on_tpu and t >= min_seq_for_flash
-            and q.shape[-1] <= 256):
-        return flash_attention(q, k, v, valid_len=valid_len)
+    if (key_mask is None and on_tpu and t >= min_seq_for_flash
+            and q.shape[-1] <= 256 and (not causal or t == k.shape[-2])):
+        return flash_attention(q, k, v, valid_len=valid_len, causal=causal)
     if key_mask is None and valid_len is not None:
         key_mask = jnp.arange(t)[None, :] < jnp.asarray(valid_len).reshape(-1)[:, None]
         key_mask = jnp.broadcast_to(key_mask, (q.shape[0], t))

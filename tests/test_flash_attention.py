@@ -21,7 +21,8 @@ def test_flash_matches_einsum_attention():
 
 
 def test_flash_unaligned_length_masked_padding():
-    """T=300 pads to 512 internally; padded key columns must not leak."""
+    """T=300 pads to 384 and takes the ONE-SHOT kernel path (_resolve_blocks
+    single-K-block branch); padded key columns must not leak."""
     key = jax.random.PRNGKey(3)
     b, h, t, dh = 1, 2, 300, 32
     q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
@@ -213,6 +214,52 @@ def test_flash_per_row_valid_len_grad():
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-3, rtol=1e-3)
 
 
+def test_flash_default_blocks_oneshot_grad_with_valid_len():
+    """Gradients through the production DEFAULT-config path: _resolve_blocks
+    takes the ONE-SHOT forward branch (t=800 -> tp=896, single K block, no
+    online-softmax carry) whose saved lse feeds the multi-block backward
+    kernels, under a valid_len prefix mask — the bf16 training configuration
+    (acoustic crop 800-1600). No earlier grad test exercised the one-shot
+    forward (all pinned block_q/block_k=128), so a regression there was
+    invisible (ADVICE r4)."""
+    key = jax.random.PRNGKey(13)
+    b, h, t, dh = 1, 2, 800, 32
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.float32)
+    vl = 700
+    row_keep = (np.arange(t) < vl)[None, None, :, None]
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, valid_len=jnp.int32(vl), interpret=True)  # DEFAULT blocks
+        return ((o * row_keep) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        km = jnp.broadcast_to(jnp.arange(t)[None] < vl, (b, t))
+        return ((attend(q, k, v, key_mask=km) * row_keep) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3)
+
+
+def test_flash_valid_len_zero_clamps_to_one():
+    """valid_len == 0 is outside the serving contract; the wrapper clamps it
+    to 1 so a caller bug yields defined output (attend key 0 only), not a
+    uniform average over garbage keys (ADVICE r4)."""
+    key = jax.random.PRNGKey(14)
+    b, h, t, dh = 1, 2, 256, 16
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        out0 = flash_attention(q, q, q, valid_len=jnp.int32(0), block_q=128,
+                               block_k=128, interpret=True)
+        out1 = flash_attention(q, q, q, valid_len=jnp.int32(1), block_q=128,
+                               block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-6)
+
+
 def test_flash_bf16_default_blocks_unequal_pad_regression():
     """Regression (review r3): with bf16 defaults, 512 < t <= 896 resolved to
     block_q in {640,768,896} > block_k=512 and tp = round_up(t, block_q) was
@@ -251,3 +298,111 @@ def test_flash_bf16_default_blocks_grad_regression():
         gr = jax.grad(loss_ref)(q).astype(jnp.float32)
     scale = np.abs(np.asarray(gr)).max()
     assert np.abs(np.asarray(gf) - np.asarray(gr)).max() < 0.05 * max(scale, 1.0)
+
+
+def test_flash_causal_matches_einsum():
+    """causal=True (tq == tk self-attention, T2S training decoder): one-shot
+    and multi-block paths vs the einsum reference."""
+    key = jax.random.PRNGKey(15)
+    b, h, t, dh = 2, 2, 300, 32
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        ref = attend(q, k, v, causal=True)
+        # default blocks -> one-shot branch (t=300 pads to 384)
+        out1 = flash_attention(q, k, v, causal=True, interpret=True)
+        # explicit small blocks -> multi-K-block online-softmax branch
+        out2 = flash_attention(q, k, v, causal=True, block_q=128, block_k=128,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_causal_with_per_row_valid_len():
+    """causal + per-row prefix mask — the T2S training decoder contract
+    (right-padded target batches, one valid length per row)."""
+    key = jax.random.PRNGKey(16)
+    b, h, t, dh = 3, 2, 256, 16
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.float32)
+    vls = np.array([256, 100, 177], np.int32)
+    km = jnp.arange(t)[None, :] < jnp.asarray(vls)[:, None]
+    with jax.default_matmul_precision("highest"):
+        ref = attend(q, k, v, key_mask=km, causal=True)
+        out = np.asarray(flash_attention(q, k, v, valid_len=jnp.asarray(vls),
+                                         causal=True, block_q=128, block_k=128,
+                                         interpret=True))
+    for i, vl in enumerate(vls):
+        np.testing.assert_allclose(out[i, :, :vl], np.asarray(ref)[i, :, :vl],
+                                   atol=2e-5, err_msg=f"row {i}")
+
+
+def test_flash_causal_grads_match_einsum():
+    """Causal backward: dq/dk/dv through both backward kernels (multi-block)
+    and through the one-shot forward's saved lse (default blocks)."""
+    key = jax.random.PRNGKey(17)
+    b, h, t, dh = 2, 2, 320, 16
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.float32)
+    vls = jnp.asarray(np.array([320, 200], np.int32))
+    row_keep = (np.arange(t)[None, :] < np.asarray(vls)[:, None])[:, None, :, None]
+    km = jnp.arange(t)[None, :] < vls[:, None]
+
+    def loss_ref(q, k, v):
+        return ((attend(q, k, v, key_mask=km, causal=True) * row_keep) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for blocks in ({}, {"block_q": 128, "block_k": 128}):
+            def loss_flash(q, k, v, blocks=blocks):
+                o = flash_attention(q, k, v, valid_len=vls, causal=True,
+                                    interpret=True, **blocks)
+                return ((o * row_keep) ** 2).sum()
+            gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+            for a, b_ in zip(gf, gr):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                           atol=1e-3, rtol=1e-3, err_msg=str(blocks))
+
+
+def test_t2s_forward_loss_flash_vs_einsum_grads(monkeypatch):
+    """End-to-end: T2S teacher-forced CE with decoder/encoder attention routed
+    through the Pallas kernel (interpret) vs the einsum path — loss and grads
+    must match on right-padded batches (the collate contract the prefix_lens
+    routing relies on, data_module.py:853)."""
+    import covomix_tpu.models.text2semantic as T
+    import covomix_tpu.ops.flash_attention as FA
+
+    cfg = T.T2SConfig(dim=32, source_depth=1, target_depth=2, heads=2, dim_head=16,
+                      num_text_tokens=50, num_semantic_tokens=20, target_dim=32)
+    params = T.init(jax.random.PRNGKey(0), cfg)
+    b, s, t = 2, 12, 24
+    rng = np.random.RandomState(0)
+    src = rng.randint(1, 50, (b, s)).astype(np.int32)
+    tgt = rng.randint(0, 20, (b, t)).astype(np.int32)
+    src[1, 8:] = cfg.text_pad_id       # right padding
+    tgt[1, 17:] = cfg.semantic_pad_id
+
+    def loss(p):
+        return T.forward_loss(p, cfg, jnp.asarray(src), jnp.asarray(tgt))
+
+    def flash_dispatch(q, k, v, *, key_mask=None, valid_len=None, causal=False, **kw):
+        from covomix_tpu.models.layers import attend as _attend
+        if key_mask is None and valid_len is not None and (not causal or q.shape[-2] == k.shape[-2]):
+            return FA.flash_attention(q, k, v, valid_len=valid_len, causal=causal,
+                                      block_q=128, block_k=128, interpret=True)
+        if key_mask is None and valid_len is not None:
+            key_mask = jnp.broadcast_to(jnp.arange(k.shape[-2])[None] <
+                                        jnp.asarray(valid_len).reshape(-1)[:, None],
+                                        (q.shape[0], k.shape[-2]))
+        return _attend(q, k, v, key_mask=key_mask, causal=causal)
+
+    with jax.default_matmul_precision("highest"):
+        ref_loss, ref_g = jax.value_and_grad(loss)(params)
+        monkeypatch.setattr(T, "attend_flash_or_xla", flash_dispatch)
+        fl_loss, fl_g = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(fl_loss), float(ref_loss), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(fl_g), jax.tree_util.tree_leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-3)
