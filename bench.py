@@ -186,6 +186,7 @@ _PEAK_TFLOPS = {
 
 
 def child():
+    import dataclasses
     import functools
 
     import covomix_tpu.util.jaxcache  # noqa: F401
@@ -432,6 +433,89 @@ def child():
                 out[f"{name}_train_tflops_per_step"] = round(flops / 1e12, 2)
         return out
 
+    def spec_decode_stats():
+        """Speculative-decode speedup/acceptance at reference T2S scale
+        (VERDICT r4 item 2: put a number on record in the official JSON).
+
+        Random weights give ~1/vocab acceptance (the floor), so the draft
+        heads are first FIT for a few hundred steps on a fully-decodable
+        synthetic pattern with a trained EOS (tools/spec_bench.py
+        methodology — the same forward_loss that trains the production
+        early-exit heads, text2semantic.py:1037-1046 semantics), standing in
+        for a converged checkpoint's draft/full agreement. Both paths use
+        greedy EOS stopping (min_length would force greedy to decode
+        max_length while spec stops at EOS, skewing the ratio)."""
+        import optax
+
+        cfg = T.T2SConfig(dim=512, source_depth=4, target_depth=4, heads=8,
+                          dim_head=64, num_text_tokens=30528,
+                          num_semantic_tokens=501, target_dim=1024,
+                          two_output=True, target_early_exit_layer=2)
+        fit_steps, fit_t = int(os.environ.get("BENCH_SPEC_FIT", 400)), 96
+        gamma = int(os.environ.get("BENCH_SPEC_GAMMA", 4))
+        if os.environ.get("BENCH_TINY"):
+            cfg = dataclasses.replace(t2s_cfg, target_early_exit_layer=1)
+            fit_steps, fit_t = 8, 32
+        params = jax.jit(T.init, static_argnums=1)(jax.random.PRNGKey(21), cfg)
+
+        def synth(k, b, t):
+            # positional pattern + trained EOS at t-16 (decodable by greedy)
+            text = jax.random.randint(k, (b, 24), 1, 100)
+            tgt = (7 + jnp.arange(t)) % cfg.num_semantic_tokens
+            tgt = jnp.where(jnp.arange(t) < t - 16, tgt, cfg.semantic_pad_id)
+            tgt = jnp.broadcast_to(tgt[None, :], (b, t))
+            return text, jnp.stack([tgt, tgt], axis=-1).astype(jnp.int32)
+
+        tx = optax.adam(3e-4)
+        opt = tx.init(params)
+
+        @jax.jit
+        def fit_step(params, opt, k):
+            text, tgt = synth(k, 16, fit_t)
+            loss, g = jax.value_and_grad(
+                lambda p: T.forward_loss(p, cfg, text, tgt, dtype=jnp.float32))(params)
+            up, opt = tx.update(g, opt, params)
+            return optax.apply_updates(params, up), opt, loss
+
+        for i in range(fit_steps):
+            params, opt, loss = fit_step(params, opt, jax.random.PRNGKey(100 + i))
+        print(f"# spec fit {fit_steps} steps, final loss {float(loss):.4f}", file=sys.stderr)
+
+        text, _ = synth(jax.random.PRNGKey(7), 8, fit_t)
+        gen = jax.jit(functools.partial(T.generate, cfg=cfg, max_length=DECODE_LEN,
+                                        temperature=1e-10, top_k_thres=1.0, dtype=dtype))
+        spec = jax.jit(functools.partial(T.generate_speculative, cfg=cfg,
+                                         max_length=DECODE_LEN, gamma=gamma, dtype=dtype))
+
+        def wall(fn):
+            r = fn()
+            int(np.asarray(r.num_steps))  # host fetch = sync
+            best = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                r = fn()
+                int(np.asarray(r.num_steps))
+                best = min(best, time.time() - t0)
+            return best, r
+
+        wg, rg = wall(lambda: gen(params, key=jax.random.PRNGKey(0), source_ids=text))
+        ws, rs = wall(lambda: spec(params, source_ids=text))
+        lens = np.minimum(np.asarray(rs.lengths), np.asarray(rs.lengths2)).astype(np.float64)
+        rounds = float(np.asarray(rs.num_steps))
+        per_round = float(lens.mean()) / max(rounds, 1.0)
+        gtok = float(np.minimum(np.asarray(rg.lengths), np.asarray(rg.lengths2)).sum())
+        stok = float(lens.sum())
+        out = {
+            "t2s_spec_gamma": gamma,
+            "t2s_spec_tokens_per_round": round(per_round, 2),
+            "t2s_spec_acceptance": round(max(0.0, (per_round - 1.0) / gamma), 3),
+            "t2s_greedy_tok_per_s": round(gtok / wg) if wg else None,
+            "t2s_spec_tok_per_s": round(stok / ws) if ws else None,
+            "t2s_spec_speedup": round((stok / ws) / (gtok / wg), 2) if wg and ws and gtok else None,
+        }
+        print(f"# spec decode: {out}", file=sys.stderr)
+        return out
+
     def hubert_throughput():
         """BASELINE config 3: semantic-token extraction rate at reference
         scale (12-layer/768 HuBERT + 500-unit k-means argmin,
@@ -525,6 +609,12 @@ def child():
             train_ms = train_throughput()
         except Exception as e:  # noqa: BLE001
             print(f"# train throughput failed: {str(e)[:200]}", file=sys.stderr)
+    spec_stats = {}
+    if not os.environ.get("BENCH_NO_SPEC"):
+        try:
+            spec_stats = retry(spec_decode_stats, "spec decode", attempts=2)
+        except Exception as e:  # noqa: BLE001
+            print(f"# spec decode failed: {str(e)[:200]}", file=sys.stderr)
 
     # headline = the fused single-program serving path (the production
     # default); fall back to the staged per-stage sum if fused failed
@@ -559,6 +649,7 @@ def child():
     if voc_tp_big is not None:
         out[f"vocoder_samples_per_sec_b{big}"] = round(voc_tp_big)
     out.update(train_ms)
+    out.update(spec_stats)
     b64 = scaling.get("64", {})
     if "rtf" in b64 or "rtf_fused" in b64:
         # BASELINE config 5: 64 concurrent dialogues (fused serving path)

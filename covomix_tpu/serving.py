@@ -57,6 +57,8 @@ class BatchedPipeline:
     dtype: object = jnp.bfloat16
     min_length: int = 0        # mask EOS for the first N decode steps (min-duration control)
     fused: bool = True         # whole cascade as ONE jitted program (see _call_fused)
+    speculative: bool = False  # greedy self-speculative T2S decode (early-exit draft heads)
+    spec_gamma: int = 4        # drafts per verify round when speculative
 
     def __post_init__(self):
         if self.mesh is not None:
@@ -68,9 +70,21 @@ class BatchedPipeline:
             self._dp = dp
         else:
             self._dp = None
-        self._gen = jax.jit(functools.partial(
-            T.generate, cfg=self.t2s_cfg, max_length=self.decode_len,
-            min_length=self.min_length, dtype=self.dtype))
+        if self.speculative:
+            # greedy speculative decode (output == greedy generate bit-exactly,
+            # tests/test_speculative.py); needs the early-exit draft head(s).
+            # No min_length knob: EOS stopping is the greedy model's own.
+            assert self.t2s_cfg.target_early_exit_layer > 0 and "early_exit" in self.t2s_params, \
+                "speculative serving needs a checkpoint with the early-exit draft head"
+            spec = functools.partial(T.generate_speculative, cfg=self.t2s_cfg,
+                                     max_length=self.decode_len, gamma=self.spec_gamma,
+                                     dtype=self.dtype)
+            self._gen = jax.jit(lambda params, key, source_ids:
+                                spec(params, source_ids=source_ids))  # greedy: key unused
+        else:
+            self._gen = jax.jit(functools.partial(
+                T.generate, cfg=self.t2s_cfg, max_length=self.decode_len,
+                min_length=self.min_length, dtype=self.dtype))
         self._sample = jax.jit(functools.partial(
             A.sample, cfg=self.acoustic_cfg, cond_scale=self.cond_scale, dtype=self.dtype))
         self._voc = jax.jit(functools.partial(V.generator, cfg=self.vocoder_cfg, dtype=self.dtype))

@@ -38,6 +38,11 @@ def main():
     p.add_argument("--staged", action="store_true",
                    help="run the cascade as three per-stage programs instead of the "
                         "default single fused jit (debugging / per-stage timing)")
+    p.add_argument("--speculative", action="store_true",
+                   help="greedy self-speculative T2S decode (needs a checkpoint trained "
+                        "with the early-exit draft head(s); output == greedy decode)")
+    p.add_argument("--spec_gamma", type=int, default=4,
+                   help="speculative drafts per verify round")
     p.add_argument("--multihost", action="store_true",
                    help="multi-host serving: jax.distributed rendezvous, then each "
                         "host serves its rank-strided slice of the scripts on its "
@@ -71,7 +76,8 @@ def main():
     pipe = BatchedPipeline(
         synth.t2s_params, synth.t2s_cfg, synth.acoustic_params, synth.acoustic_cfg,
         synth.vocoder_params, synth.vocoder_cfg, mesh=mesh,
-        decode_len=args.decode_len, dtype=synth.dtype, fused=not args.staged)
+        decode_len=args.decode_len, dtype=synth.dtype, fused=not args.staged,
+        speculative=args.speculative, spec_gamma=args.spec_gamma)
 
     os.makedirs(args.saved_dir, exist_ok=True)
     scripts = sorted(glob.glob(os.path.join(args.text_dir, "*.txt")))

@@ -93,15 +93,16 @@ def ee_agreement(params, cfg, text, tgt):
           flush=True)
 
 
-def measure(params, cfg, src, tag, gamma=GAMMA):
+def measure(params, cfg, src, tag, gamma=GAMMA, dtype=None):
+    dtype = DTYPE if dtype is None else dtype
     b = src.shape[0]
     # same stopping rule for both paths (greedy EOS) — min_length would force
     # greedy to decode MAXLEN while spec stops at EOS, skewing the comparison
     gen = jax.jit(functools.partial(
         T.generate, cfg=cfg, max_length=MAXLEN, temperature=1e-10, top_k_thres=1.0,
-        dtype=DTYPE))
+        dtype=dtype))
     spec = jax.jit(functools.partial(
-        T.generate_speculative, cfg=cfg, max_length=MAXLEN, gamma=gamma, dtype=DTYPE))
+        T.generate_speculative, cfg=cfg, max_length=MAXLEN, gamma=gamma, dtype=dtype))
 
     wg, rg = retry(lambda: wall(lambda: gen(params, key=jax.random.PRNGKey(0), source_ids=src)),
                    f"{tag} greedy")
@@ -122,17 +123,31 @@ def measure(params, cfg, src, tag, gamma=GAMMA):
           flush=True)
 
 
-def synthetic_batch(key, cfg, b, s, t):
-    """Deterministic, fully DECODABLE pattern: token[i] = (7 + i) % vocab,
+def synthetic_batch(key, cfg, b, s, t, length=None):
+    """Deterministic, fully DECODABLE pattern: token[i] = (7 + i) % vocab for
+    i < `length`, then pad — so forward_loss's set_eos_id trains an EOS at the
+    fixed position `length`, which is also purely positional, hence decodable —
     same on both streams. Purely positional on purpose — an earlier variant
     derived the start offset from sum(text), which greedy decode cannot infer
     at position 0; the decode then leaves the training distribution at step 0
     and ee/full argmax diverge on the degenerate trajectory, reading as 0%
     acceptance even though the decoder is exact (verified: the positional
-    pattern reaches 5.00 tok/round = gamma+1, i.e. 100% acceptance)."""
+    pattern reaches 5.00 tok/round = gamma+1, i.e. 100% acceptance).
+
+    The trained EOS is the fix for the r4 CHIP-SCALE anomaly (0% acceptance at
+    MAXLEN=512): the earlier task had no pad anywhere, so no EOS was ever
+    trained, greedy could not stop, and the decode ran MAXLEN >> trained-length
+    steps — every position past t is rotary EXTRAPOLATION where the draft and
+    full heads have no reason to agree, so measured acceptance collapsed
+    toward 0 (~1.2 tok/round) even though in-distribution teacher-forced
+    agreement read 98%. Scale (bench MAXLEN 512 vs CPU-diagnostic 96) was the
+    whole difference between the 'contradictory' readings."""
     ktxt, = jax.random.split(key, 1)
+    length = t - 16 if length is None else length
     text = jax.random.randint(ktxt, (b, s), 1, 100)
-    tgt = jnp.broadcast_to((7 + jnp.arange(t)[None, :]) % cfg.num_semantic_tokens, (b, t))
+    tgt = (7 + jnp.arange(t)) % cfg.num_semantic_tokens
+    tgt = jnp.where(jnp.arange(t) < length, tgt, cfg.semantic_pad_id)
+    tgt = jnp.broadcast_to(tgt[None, :], (b, t))
     return text, jnp.stack([tgt, tgt], axis=-1).astype(jnp.int32)
 
 
@@ -180,6 +195,11 @@ def main():
     retry(lambda: ee_agreement(params, cfg, text, tgt), "ee agreement")
     for g in (2, 4, 8):
         measure(params, cfg, text, f"realistic gamma={g}", gamma=g)
+    # dtype bisect for the r4 chip anomaly (0% acceptance at bench scale with
+    # bf16 decode while CPU/f32 diagnostics read ~80%): same weights, same
+    # task, f32 decode — if acceptance recovers, the collapse is bf16 decode
+    # numerics (ee/full argmax ties broken differently), not a decoder bug.
+    measure(params, cfg, text, "realistic gamma=4 f32-decode", gamma=4, dtype=jnp.float32)
 
 
 if __name__ == "__main__":
