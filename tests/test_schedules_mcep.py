@@ -131,3 +131,56 @@ def test_mcep_on_noisy_spectrum_converges_smooth():
     # envelope lies within the data's dynamic range and is smooth
     assert recon.max() <= spec.max() * 2 and recon.min() >= spec.min() * 0.2
     assert np.abs(np.diff(np.log(recon))).max() < np.abs(np.diff(np.log(spec))).max()
+
+
+# ------------------------------------------- f0/pitch + length-mask helpers
+# (covomix/covomix_model/utils.py:62-145; torch CPU validates the contracts)
+from covomix_tpu.util import misc as U  # noqa: E402
+
+HP = {"f0_mean": 120.0, "f0_std": 40.0}
+
+
+def test_process_f0_standardizes_and_interpolates_unvoiced():
+    f0 = np.array([100.0, 0.0, 0.0, 160.0, 0.0, 200.0], np.float32)
+    out, uv = U.process_f0(f0, HP)
+    np.testing.assert_array_equal(uv, [0, 1, 1, 0, 1, 0])
+    # voiced frames: plain standardization
+    np.testing.assert_allclose(out[[0, 3, 5]], [(100 - 120) / 40, 1.0, 2.0], atol=1e-6)
+    # unvoiced gaps linearly interpolated between voiced neighbors
+    np.testing.assert_allclose(out[1], -0.5 + (1.0 - -0.5) / 3, atol=1e-6)
+    np.testing.assert_allclose(out[4], 1.5, atol=1e-6)
+
+
+def test_restore_pitch_roundtrip_uv_and_padding():
+    pitch = np.array([-0.5, 1.0, 2.0, -200.0], np.float32)
+    uv = np.array([0, 1, 0, 0], np.float32)
+    out = U.restore_pitch(pitch, uv, HP)
+    np.testing.assert_allclose(out, [100.0, 1.0, 200.0, 0.0], atol=1e-4)
+    # clamping applies before the uv/padding overrides (utils.py:91-95)
+    out2 = U.restore_pitch(pitch, None, HP, min=110.0, max=150.0)
+    np.testing.assert_allclose(out2, [110.0, 150.0, 150.0, 0.0], atol=1e-4)
+
+
+def test_make_pad_mask_matches_torch_reference_semantics():
+    lengths = [3, 1, 2]
+    mask = U.make_pad_mask(lengths)
+    expect = np.array([[0, 0, 0], [0, 1, 1], [0, 0, 1]], bool)
+    np.testing.assert_array_equal(mask, expect)
+    np.testing.assert_array_equal(U.make_non_pad_mask(lengths), ~expect)
+    np.testing.assert_array_equal(U.get_mask_from_lengths(np.array(lengths)), ~expect)
+
+
+def test_make_pad_mask_broadcasts_to_xs_along_length_dim():
+    lengths = [2, 3]
+    xs = np.zeros((2, 4, 3))  # length axis = -1 (size 3)
+    m = U.make_pad_mask(lengths, xs)
+    assert m.shape == xs.shape
+    np.testing.assert_array_equal(m[0, 0], [0, 0, 1])
+    np.testing.assert_array_equal(m[1, 2], [0, 0, 0])
+    # explicit middle length_dim
+    xs2 = np.zeros((2, 3, 5))
+    m2 = U.make_pad_mask(lengths, xs2, length_dim=1)
+    assert m2.shape == xs2.shape
+    np.testing.assert_array_equal(m2[0, :, 0], [0, 0, 1])
+    with pytest.raises(ValueError):
+        U.make_pad_mask(lengths, xs, length_dim=0)
