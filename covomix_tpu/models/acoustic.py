@@ -131,16 +131,20 @@ def layer_core(lp, cfg: AcousticConfig, x, time_emb, key_mask=None, valid_len=No
     qkv = L.linear(lp["qkv"], h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (L.split_heads(t, cfg.heads) for t in (q, k, v))
-    q = L.rotary_halfsplit(positions, inv_freq, q)
-    k = L.rotary_halfsplit(positions, inv_freq, k)
     if attend_fn is None:
         # dense non-causal attention: Pallas flash kernel on TPU for long
         # sequences, XLA einsum otherwise (ops/flash_attention.py).
         # Bucket-padded inference passes valid_len (scalar prefix length) and
         # stays on the flash kernel; an arbitrary bool key_mask routes
-        # through the masked einsum path.
-        attn = attend_flash_or_xla(q, k, v, key_mask=key_mask, valid_len=valid_len)
+        # through the masked einsum path. Rotary is passed DOWN so the flash
+        # path applies it inside the kernel (42.1 -> 32.9 ms/layer at the
+        # B=64 serving shape, tools/attn_fuse_probe.py) — the dispatcher's
+        # fallbacks apply rotary_halfsplit externally, bit-identically.
+        attn = attend_flash_or_xla(q, k, v, key_mask=key_mask, valid_len=valid_len,
+                                   rotary=(positions, inv_freq))
     else:
+        q = L.rotary_halfsplit(positions, inv_freq, q)
+        k = L.rotary_halfsplit(positions, inv_freq, k)
         attn = attend_fn(q, k, v)
     x = L.linear(lp["attn_out"], L.merge_heads(attn)) + x
     h = L.adaptive_rmsnorm(lp["ff_norm"], x, time_emb)

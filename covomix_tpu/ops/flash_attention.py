@@ -92,8 +92,75 @@ def _fold_scale(q, scale: float):
     return q, scale
 
 
-def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int, kv_len: int,
-                  scale: float, causal: bool = False):
+# --------------------------------------------------------------------------
+# in-kernel rotary (halfsplit convention, acoustic.py:116-137): the separate
+# rotary pass over [B, H, T, 64] q and k is pure HBM glue — dh=64 tensors are
+# lane-padded 2x in HBM, and applying tables costs several full passes each.
+# Measured at the B=64 serving shape (b2=128, T=912, v5e 2026-08-19,
+# tools/attn_fuse_probe.py): attention block 42.1 ms/layer with external
+# rotary, 30.8 with rotary removed, 32.9 with rotary FUSED into the one-shot
+# kernel — and precomputed-table external rotary gains nothing (42.0: XLA
+# already hoists table building; the passes are the cost). Fused output is
+# BIT-IDENTICAL to layers.rotary_halfsplit + kernel (the production rotary
+# multiplies in t.dtype with t.dtype tables — same op sequence).
+#
+# Mechanics: rotate-half can't be sliced in-kernel (Mosaic rejects both
+# x[:, d:] and pltpu.roll on the 64-wide lane dim — remote-compile exit 1),
+# so it runs as x @ P with P the [dh, dh] cyclic-shift permutation: native
+# MXU work, ~rows*dh^2 FLOPs = noise next to the attention dots, and exact
+# (f32 accumulate of a 0/1 matrix). The rotate-half SIGN is folded into the
+# sin table (rotary_tables_halfsplit), so rotary(x) = x*cos + (x@P)*sin_s.
+
+
+def rotary_tables_halfsplit(positions, inv_freq, dtype):
+    """[T, dh] (cos, sin_signed) tables for halfsplit rotary at `dtype`.
+    sin_signed carries the rotate-half sign (first half negated) so the
+    in-kernel rotate is a pure roll: rotary(x) = x*cos + roll(x, d)*sin_s.
+    Bit-identical inputs to layers.rotary_halfsplit's cos/sin (same f32
+    freqs, cast to compute dtype)."""
+    freqs = positions[:, None].astype(jnp.float32) * inv_freq[None, :]
+    freqs = jnp.concatenate([freqs, freqs], axis=-1)       # [T, dh]
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    d = sin.shape[-1] // 2
+    sin_signed = jnp.concatenate([-sin[:, :d], sin[:, d:]], axis=-1)
+    return cos.astype(dtype), sin_signed.astype(dtype)
+
+
+def _roll_matrix(n, dtype):
+    """[n, n] permutation with (x @ P)[j] = x[(j - n//2) mod n]."""
+    d = n // 2
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return ((row == col - d) | (row == col + d)).astype(dtype)
+
+
+def _rot_apply(x, cos, sin_signed):
+    """In-kernel halfsplit rotary: x [rows, dh]; tables [rows, dh]."""
+    perm = _roll_matrix(x.shape[-1], x.dtype)
+    rolled = jax.lax.dot_general(x, perm, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32).astype(x.dtype)
+    return x * cos + rolled * sin_signed
+
+
+def _rotary_xla(x, cos, sin_signed):
+    """XLA-side halfsplit rotary with SIGNED sin tables — the same math as
+    layers.rotary_halfsplit (bit-identical: same dtype op sequence). x
+    [..., T, dh]; tables [T, dh]."""
+    d = x.shape[-1] // 2
+    rolled = jnp.concatenate([x[..., d:], x[..., :d]], axis=-1)
+    return x * cos + rolled * sin_signed
+
+
+def _rotary_xla_transpose(g, cos, sin_signed):
+    """Exact VJP of _rotary_xla in x: dx = g*cos + roll(g*sin_s, d) — the
+    roll-by-half is an involution, so the transpose is the same roll."""
+    z = g * sin_signed
+    d = g.shape[-1] // 2
+    return g * cos + jnp.concatenate([z[..., d:], z[..., :d]], axis=-1)
+
+
+def _flash_kernel(valid_ref, *refs, block_k: int, kv_len: int,
+                  scale: float, causal: bool = False, fused_rotary: bool = False):
     # valid_ref: SMEM scalar-prefetch [1] or [B] int32 — keys >= valid_len
     # are padding and masked out (dynamic, so bucketed serving reuses ONE
     # compiled kernel across true lengths). q_ref [1, hb, block_q, dh];
@@ -104,6 +171,13 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int,
     # self-attention indexing — the T2S training decoder, attend_t2s.py
     # semantics at q_offset 0). Row 0 always has key 0 live, so no row is
     # ever fully masked.
+    # fused_rotary (static): 4 extra leading refs — cq/sq [block_q, dh] and
+    # ck/sk [kv_len, dh] halfsplit tables (rotary_tables_halfsplit) applied
+    # to q and k in-kernel. ONE-SHOT path only.
+    if fused_rotary:
+        cq_ref, sq_ref, ck_ref, sk_ref = refs[:4]
+        refs = refs[4:]
+    q_ref, k_ref, v_ref, o_ref, *lse_ref = refs
     _, hb, block_q, dh = q_ref.shape
     q, scale = _fold_scale(q_ref[0], scale)
     valid_len = _read_valid(valid_ref)
@@ -111,6 +185,7 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int,
                + jax.lax.broadcasted_iota(jnp.int32, (1, block_q, 1), 1))
 
     num_kb = kv_len // block_k
+    assert not (fused_rotary and num_kb != 1), "fused rotary is one-shot-path only"
 
     if num_kb == 1:
         # ONE-SHOT path: the whole key row fits one block (serving/training
@@ -135,8 +210,16 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int,
         live2 = cols2 < valid_len
         if causal:
             live2 = live2 & (cols2 <= row_ids[0])  # [bq, 1] x [1, bk]
+        if fused_rotary:
+            cq, sq = cq_ref[...], sq_ref[...]
+            ck, sk = ck_ref[...], sk_ref[...]
         for hh in range(hb):
-            s = jax.lax.dot_general(q[hh], k_ref[0, hh], (((1,), (1,)), ((), ())),
+            qh = q[hh]
+            kh = k_ref[0, hh]
+            if fused_rotary:
+                qh = _rot_apply(qh, cq, sq)
+                kh = _rot_apply(kh, ck, sk)
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             if scale != 1.0:
                 s = s * scale
@@ -192,7 +275,7 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *lse_ref, block_k: int,
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    *, valid_len=None, causal: bool = False,
+                    *, valid_len=None, causal: bool = False, rotary=None,
                     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
                     head_block: int = DEFAULT_HEAD_BLOCK,
                     interpret: bool = False) -> jnp.ndarray:
@@ -213,7 +296,15 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     per-row logsumexp — no [T, T] matrix ever lands in HBM in either pass
     (the einsum path's f32 probability matrix is e.g. 327 MB per layer at
     the acoustic recipe crop). The acoustic training crop (800-1600 frames)
-    hits this path on TPU."""
+    hits this path on TPU.
+
+    `rotary`: optional (cos, sin_signed) [>=T, dh] halfsplit tables
+    (rotary_tables_halfsplit) applied to q and k INSIDE the kernel —
+    bit-identical to layers.rotary_halfsplit applied outside, but skips the
+    separate HBM passes over the lane-padded [B, H, T, 64] tensors (attention
+    block 42.1 -> 32.9 ms/layer at the B=64 serving shape). One-shot kernel
+    path only: callers must guard with one_shot_tp() (attend_flash_or_xla
+    does) or the tables fall back to an XLA pre-apply."""
     b, h, t, dh = q.shape
     if valid_len is None:
         valid_len = t
@@ -226,7 +317,29 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if causal:
         assert q.shape[-2] == k.shape[-2], "causal flash requires tq == tk (training self-attention)"
     cfg = (block_q, block_k, head_block, interpret, causal)
+    if rotary is not None:
+        cos, sin = (r.astype(q.dtype) for r in rotary)
+        assert cos.shape[-1] == dh and cos.shape[0] >= t, \
+            f"rotary tables must be [>=T, dh]; got {cos.shape} for T={t}, dh={dh}"
+        if cfg[:3] != (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, DEFAULT_HEAD_BLOCK) \
+                or one_shot_tp(t, q.dtype) is None:
+            # multi-block shape (or explicit block override): fused rotary
+            # unsupported; pre-apply in XLA (bit-identical math — _rotary_xla)
+            q = _rotary_xla(q, cos[:t], sin[:t])
+            k = _rotary_xla(k, cos[:t], sin[:t])
+        else:
+            return _flash_core_rot(cfg, valid_arr, cos, sin, q, k, v)
     return _flash_core(cfg, valid_arr, q, k, v)
+
+
+def one_shot_tp(t: int, dtype):
+    """Padded length tp if (t, dtype) resolves to the ONE-SHOT kernel
+    structure under default blocks (see _resolve_blocks), else None. The
+    fused-rotary path and dispatch decisions key off this."""
+    tp1 = round_up(t, 128)
+    if tp1 <= (2048 if jnp.dtype(dtype).itemsize <= 2 else 1024):
+        return tp1
+    return None
 
 
 def _resolve_blocks(cfg, t, h, dtype):
@@ -281,19 +394,30 @@ def _resolve_blocks(cfg, t, h, dtype):
     return block_q, block_k, head_block, interpret, tp
 
 
-def _flash_forward(cfg, valid_arr, q, k, v, with_lse: bool = False):
+def _flash_forward(cfg, valid_arr, q, k, v, with_lse: bool = False, rotary=None):
     b, h, t, dh = q.shape
     block_q, block_k, head_block, interpret, tp = _resolve_blocks(cfg, t, h, q.dtype)
+    if rotary is not None and tp // block_k != 1:
+        # fused rotary is one-shot-path only; apply it in XLA instead
+        # (callers route through flash_attention, which guards this — kept as
+        # a safety net for direct _flash_forward use)
+        q = _rotary_xla(q, rotary[0][:t], rotary[1][:t])
+        k = _rotary_xla(k, rotary[0][:t], rotary[1][:t])
+        rotary = None
     if tp != t:
         pad = [(0, 0), (0, 0), (0, tp - t), (0, 0)]
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
+        if rotary is not None:
+            rotary = tuple(jnp.pad(r[:t], [(0, tp - t), (0, 0)]) for r in rotary)
+    elif rotary is not None:
+        rotary = tuple(r[:t] for r in rotary)
     scale = dh ** -0.5
 
     causal = bool(cfg[4]) if len(cfg) > 4 else False
     kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=tp, scale=scale,
-                               causal=causal)
+                               causal=causal, fused_rotary=rotary is not None)
     grid = (b, h // head_block, tp // block_q)
 
     out_shape = jax.ShapeDtypeStruct((b, h, tp, dh), q.dtype)
@@ -303,17 +427,30 @@ def _flash_forward(cfg, valid_arr, q, k, v, with_lse: bool = False):
         out_spec = (out_spec,
                     pl.BlockSpec((1, head_block, block_q, 1), lambda bb, hh, i, *_: (bb, hh, i, 0), memory_space=pltpu.VMEM))
 
+    in_specs = [
+        pl.BlockSpec((1, head_block, block_q, dh), lambda bb, hh, i, *_: (bb, hh, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i, *_: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i, *_: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = (q, k, v)
+    if rotary is not None:
+        # table blocks: cq/sq follow the q block, ck/sk the full key row
+        in_specs = [
+            pl.BlockSpec((block_q, dh), lambda bb, hh, i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, dh), lambda bb, hh, i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, dh), lambda bb, hh, i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, dh), lambda bb, hh, i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ] + in_specs
+        cos, sin = rotary
+        operands = (cos, sin, cos, sin) + operands
+
     res = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, head_block, block_q, dh), lambda bb, hh, i, *_: (bb, hh, i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i, *_: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, head_block, tp, dh), lambda bb, hh, i, *_: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=out_spec,
         ),
         cost_estimate=pl.CostEstimate(
@@ -322,7 +459,7 @@ def _flash_forward(cfg, valid_arr, q, k, v, with_lse: bool = False):
             transcendentals=b * h * tp * tp,
         ),
         interpret=interpret,
-    )(valid_arr, q, k, v)
+    )(valid_arr, *operands)
     if with_lse:
         out, lse = res
         return (out[:, :, :t], lse[:, :, :t]) if tp != t else (out, lse)  # lse [b, h, t, 1]
@@ -538,22 +675,75 @@ def _flash_core_bwd(cfg, res, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_core_rot(cfg, valid_arr, cos, sin, q, k, v):
+    """Fused-rotary core: forward applies halfsplit rotary to q/k inside the
+    one-shot kernel. Differentiable in q/k/v (tables are constants): the
+    backward rotates q/k in XLA (bit-identical to the in-kernel rotation),
+    runs the standard flash backward for d(rotated q/k), then counter-rotates
+    — the rotate-half roll is an involution, so the VJP of the rotation is
+    the same roll with cos/sin swapped in (see _rotary_xla_transpose)."""
+    return _flash_forward(cfg, valid_arr, q, k, v, rotary=(cos, sin))
+
+
+def _flash_core_rot_fwd(cfg, valid_arr, cos, sin, q, k, v):
+    out, lse = _flash_forward(cfg, valid_arr, q, k, v, with_lse=True, rotary=(cos, sin))
+    # Residuals save the UNROTATED q/k (see _flash_core_fwd for the
+    # head-merged layout rationale); the backward re-rotates them.
+    return out, (valid_arr, cos, sin, _pack_heads(q), _pack_heads(k), _pack_heads(v),
+                 _pack_heads(out), lse[..., 0])
+
+
+def _flash_core_rot_bwd(cfg, res, g):
+    import numpy as _np
+
+    valid_arr, cos, sin, qp, kp, vp, outp, lse = res
+    h = lse.shape[1]
+    q, k, v = _unpack_heads(qp, h), _unpack_heads(kp, h), _unpack_heads(vp, h)
+    t = q.shape[-2]
+    qr = _rotary_xla(q, cos[:t], sin[:t])
+    kr = _rotary_xla(k, cos[:t], sin[:t])
+    dqr, dkr, dv = _flash_backward(cfg, valid_arr, qr, kr, v, _unpack_heads(outp, h), lse, g)
+    dq = _rotary_xla_transpose(dqr, cos[:t], sin[:t])
+    dk = _rotary_xla_transpose(dkr, cos[:t], sin[:t])
+    return (_np.zeros(valid_arr.shape, jax.dtypes.float0),
+            jnp.zeros_like(cos), jnp.zeros_like(sin), dq, dk, dv)
+
+
+_flash_core_rot.defvjp(_flash_core_rot_fwd, _flash_core_rot_bwd)
+
+
 
 def attend_flash_or_xla(q, k, v, *, key_mask=None, valid_len=None, causal=False,
-                        min_seq_for_flash: int = 512):
+                        min_seq_for_flash: int = 512, rotary=None):
     """Dispatch: dense attention on TPU with T >= threshold and tileable
     shapes goes through the Pallas kernel — non-causal (the acoustic flow
     stack) AND causal self-attention (tq == tk, the T2S training decoder) —
     with prefix masking expressed as `valid_len` (scalar, or [B] per-row; the
     production serving/training paths). Arbitrary boolean `key_mask`,
     causal-with-cache (tq != tk), small-T, and non-TPU cases use the XLA
-    einsum path."""
-    from covomix_tpu.models.layers import attend
+    einsum path.
+
+    `rotary`: optional (positions [T], inv_freq [dh/2]) — halfsplit rotary
+    applied to q and k, fused INTO the flash kernel when the one-shot path
+    is taken, and applied via layers.rotary_halfsplit (bit-identical)
+    otherwise. Passing it here instead of pre-rotating lets the serving path
+    skip the HBM-bound rotary passes (see rotary_tables_halfsplit)."""
+    from covomix_tpu.models.layers import attend, rotary_halfsplit
 
     t = q.shape[-2]
     on_tpu = jax.devices()[0].platform == "tpu"
-    if (key_mask is None and on_tpu and t >= min_seq_for_flash
-            and q.shape[-1] <= 256 and (not causal or t == k.shape[-2])):
+    use_flash = (key_mask is None and on_tpu and t >= min_seq_for_flash
+                 and q.shape[-1] <= 256 and (not causal or t == k.shape[-2]))
+    if rotary is not None:
+        positions, inv_freq = rotary
+        if use_flash:
+            tables = rotary_tables_halfsplit(positions, inv_freq, q.dtype)
+            return flash_attention(q, k, v, valid_len=valid_len, causal=causal,
+                                   rotary=tables)
+        q = rotary_halfsplit(positions, inv_freq, q)
+        k = rotary_halfsplit(positions, inv_freq, k)
+    if use_flash:
         return flash_attention(q, k, v, valid_len=valid_len, causal=causal)
     if key_mask is None and valid_len is not None:
         key_mask = jnp.arange(t)[None, :] < jnp.asarray(valid_len).reshape(-1)[:, None]

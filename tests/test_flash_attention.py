@@ -155,10 +155,23 @@ def test_acoustic_loss_grad_through_flash_kernel(monkeypatch):
              "mask": jnp.ones((b, t), bool)}
     loss_fn = acoustic_loss_fn(cfg, cond_drop_prob=0.0)
 
-    def flash_dispatch(q, k, v, *, key_mask=None, valid_len=None, causal=False, **kw):
+    def flash_dispatch(q, k, v, *, key_mask=None, valid_len=None, causal=False,
+                       rotary=None, **kw):
         if key_mask is None and not causal:
+            if rotary is not None:
+                # mirror production: fuse rotary into the (interpret-mode)
+                # kernel via tables — default blocks take the one-shot path
+                from covomix_tpu.models.layers import rotary_freqs
+                from covomix_tpu.ops.flash_attention import rotary_tables_halfsplit
+                tables = rotary_tables_halfsplit(rotary[0], rotary[1], q.dtype)
+                return flash_attention(q, k, v, valid_len=valid_len, rotary=tables,
+                                       interpret=True)
             return flash_attention(q, k, v, valid_len=valid_len, block_q=128,
                                    block_k=128, interpret=True)
+        if rotary is not None:
+            from covomix_tpu.models.layers import rotary_halfsplit
+            q = rotary_halfsplit(rotary[0], rotary[1], q)
+            k = rotary_halfsplit(rotary[0], rotary[1], k)
         return attend(q, k, v, key_mask=key_mask, causal=causal)
 
     with jax.default_matmul_precision("highest"):
@@ -406,3 +419,79 @@ def test_t2s_forward_loss_flash_vs_einsum_grads(monkeypatch):
     np.testing.assert_allclose(float(fl_loss), float(ref_loss), rtol=1e-5)
     for a, b_ in zip(jax.tree_util.tree_leaves(fl_g), jax.tree_util.tree_leaves(ref_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-3)
+
+
+def test_flash_fused_rotary_matches_external_rotary():
+    """rotary=(cos, sin_signed) tables applied IN-KERNEL (one-shot path) must
+    match layers.rotary_halfsplit applied outside + plain flash — measured
+    bit-identical on chip (tools/attn_fuse_probe.py parity 0.0e+00); assert
+    tight tolerance through interpret mode here."""
+    from covomix_tpu.models.layers import rotary_freqs, rotary_halfsplit
+    from covomix_tpu.ops.flash_attention import rotary_tables_halfsplit
+
+    key = jax.random.PRNGKey(11)
+    b, h, t, dh = 2, 4, 300, 64
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.float32)
+    inv = rotary_freqs(dh)
+    pos = jnp.arange(t)
+    with jax.default_matmul_precision("highest"):
+        qr = rotary_halfsplit(pos, inv, q)
+        kr = rotary_halfsplit(pos, inv, k)
+        ref = flash_attention(qr, kr, v, valid_len=t - 17, interpret=True)
+        tables = rotary_tables_halfsplit(pos, inv, q.dtype)
+        out = flash_attention(q, k, v, valid_len=t - 17, rotary=tables, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_flash_fused_rotary_grads_match_external():
+    """Gradients through the fused-rotary core (counter-rotation backward)
+    must match grads of external-rotary + plain flash."""
+    from covomix_tpu.models.layers import rotary_freqs, rotary_halfsplit
+    from covomix_tpu.ops.flash_attention import rotary_tables_halfsplit
+
+    key = jax.random.PRNGKey(12)
+    b, h, t, dh = 1, 2, 256, 64
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.float32)
+    inv = rotary_freqs(dh)
+    pos = jnp.arange(t)
+    tables = rotary_tables_halfsplit(pos, inv, q.dtype)
+
+    def loss_ext(q, k, v):
+        qr = rotary_halfsplit(pos, inv, q)
+        kr = rotary_halfsplit(pos, inv, k)
+        o = flash_attention(qr, kr, v, valid_len=200, interpret=True)
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape) * 0.01))
+
+    def loss_fused(q, k, v):
+        o = flash_attention(q, k, v, valid_len=200, rotary=tables, interpret=True)
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape) * 0.01))
+
+    with jax.default_matmul_precision("highest"):
+        ge = jax.grad(loss_ext, argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(ge, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=3e-5, rtol=1e-4)
+
+
+def test_attend_dispatch_rotary_falls_back_bit_identical_off_tpu():
+    """Off-TPU, attend_flash_or_xla(rotary=...) must equal pre-rotated
+    attend() exactly (the CPU test-suite contract for layer_core)."""
+    from covomix_tpu.models.layers import rotary_freqs, rotary_halfsplit
+    from covomix_tpu.ops.flash_attention import attend_flash_or_xla
+
+    key = jax.random.PRNGKey(13)
+    b, h, t, dh = 2, 2, 64, 64
+    q = jax.random.normal(key, (b, h, t, dh), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh), jnp.float32)
+    inv = rotary_freqs(dh)
+    pos = jnp.arange(t)
+    qr = rotary_halfsplit(pos, inv, q)
+    kr = rotary_halfsplit(pos, inv, k)
+    ref = attend(qr, kr, v)
+    out = attend_flash_or_xla(q, k, v, rotary=(pos, inv))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -55,12 +55,23 @@ def retry(fn, what, attempts=6):
             time.sleep(20 * (a + 1))
 
 
-def rotary_tables(tp, dtype=jnp.float32):
-    """[tp, dh] cos/sin for the halfsplit convention (freqs concatenated)."""
+def rotary_tables(tp, dtype=jnp.float32, signed=False):
+    """[tp, dh] cos/sin for the halfsplit convention (freqs concatenated).
+
+    signed=True: sin table with the rotate-half sign FOLDED IN
+    (sin[:, :d] negated) so the in-kernel rotate is a pure lane roll:
+      rotary(x) = x*cos + roll(x, d)*sin_signed
+    — Mosaic can't slice the 64-wide lane dim at offset 32
+    (concatenate([-x[:, d:], x[:, :d]]) fails to compile), but pltpu.roll
+    is a native lane rotation."""
     inv = L.rotary_freqs(DH)
     freqs = jnp.arange(tp)[:, None].astype(jnp.float32) * inv[None, :]
     freqs = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    if signed:
+        d = DH // 2
+        sin = jnp.concatenate([-sin[:, :d], sin[:, d:]], axis=-1)
+    return cos.astype(dtype), sin.astype(dtype)
 
 
 def apply_tab_rotary(t, cos, sin):
@@ -71,11 +82,20 @@ def apply_tab_rotary(t, cos, sin):
 
 
 # ---------------------------------------------------------------- fused kernel
-def _rot_in_kernel(x, cos, sin):
-    """x [rows, dh] f32/bf16; cos/sin [rows, dh]."""
-    d = x.shape[-1] // 2
-    rot = jnp.concatenate([-x[:, d:], x[:, :d]], axis=-1)
-    return x * cos + rot * sin
+def _rot_in_kernel(x, cos, sin_signed):
+    """x [rows, dh]; cos/sin_signed [rows, dh] (sign folded into sin — see
+    rotary_tables). rotate-half = x @ P with P the 64x64 cyclic-shift
+    permutation: Mosaic can't slice or roll the 64-wide lane dim (both fail
+    to compile), but a [rows,64]x[64,64] dot is native MXU work and costs
+    ~rows*8K FLOPs — noise next to the attention dots."""
+    n = x.shape[-1]
+    d = n // 2
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    perm = ((row == col - d) | (row == col + d)).astype(x.dtype)
+    rolled = jax.lax.dot_general(x, perm, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32).astype(x.dtype)
+    return x * cos + rolled * sin_signed
 
 
 def _fused_kernel(cq_ref, sq_ref, ck_ref, sk_ref, q_ref, k_ref, v_ref, o_ref,
@@ -113,6 +133,10 @@ def fused_flash(q, k, v, cos, sin, *, valid, bthd, block_q=512, head_block=4):
     """q/k/v: bthd -> [B, T, H, dh]; else [B, H, T, dh]. cos/sin [T, dh]."""
     if bthd:
         b, tp, h, dh = q.shape
+        # Pallas tiling: the 2nd-to-last block dim must be sublane-aligned or
+        # equal the array dim — head_block=4 < 8 fails, so keep ALL heads in
+        # the block (H == array dim is always legal) and grid over (b, t).
+        head_block = h
     else:
         b, h, tp, dh = q.shape
     kern = functools.partial(_fused_kernel, valid=valid, bthd=bthd, scale=SCALE)
@@ -142,14 +166,14 @@ def fused_flash(q, k, v, cos, sin, *, valid, bthd, block_q=512, head_block=4):
 
 
 # ------------------------------------------------------------- block variants
-def attn_block(p, x, mode, tabs):
+def attn_block(p, x, mode, tabs, stabs):
     inv_freq = L.rotary_freqs(DH)
     positions = jnp.arange(x.shape[1])
     qkv = L.linear(p["qkv"], x)                            # [B, T, 3HD]
     if mode == "fused-bthd":
         qkv = jnp.pad(qkv, ((0, 0), (0, TP - T), (0, 0)))  # ONE pad, packed
         q, k, v = (r.reshape(B2, TP, H, DH) for r in jnp.split(qkv, 3, axis=-1))
-        cos, sin = tabs
+        cos, sin = stabs
         attn = fused_flash(q, k, v, cos, sin, valid=T, bthd=True)
         attn = attn[:, :T].reshape(B2, T, H * DH)          # free reshape back
         return L.linear(p["attn_out"], attn)
@@ -169,7 +193,7 @@ def attn_block(p, x, mode, tabs):
     elif mode == "fused-bhtd":
         pad = ((0, 0), (0, 0), (0, TP - T), (0, 0))
         q, k, v = (jnp.pad(r, pad) for r in (q, k, v))
-        cos, sin = tabs
+        cos, sin = stabs
         attn = fused_flash(q, k, v, cos, sin, valid=T, bthd=False)[:, :, :T]
     else:
         raise ValueError(mode)
@@ -183,11 +207,12 @@ def run(mode, iters=8):
     p = jax.tree.map(lambda a: a.astype(DTYPE), p)
     x = jax.random.normal(jax.random.fold_in(key, 2), (B2, T, D)).astype(DTYPE)
     tabs = rotary_tables(TP, DTYPE)
+    stabs = rotary_tables(TP, DTYPE, signed=True)
 
     @jax.jit
     def loop(p, x):
         def body(i, c):
-            return attn_block(p, c, mode, tabs).astype(c.dtype)
+            return attn_block(p, c, mode, tabs, stabs).astype(c.dtype)
         return jax.lax.fori_loop(0, iters, body, x)
 
     r = loop(p, x)
@@ -202,8 +227,7 @@ def run(mode, iters=8):
     return best / iters
 
 
-def parity():
-    """Fused kernels must match the production block bitwise-closely (bf16)."""
+def _parity_inputs():
     key = jax.random.PRNGKey(3)
     q = jax.random.normal(key, (2, H, T, DH)).astype(DTYPE)
     k = jax.random.normal(jax.random.fold_in(key, 1), (2, H, T, DH)).astype(DTYPE)
@@ -213,24 +237,37 @@ def parity():
     qr = L.rotary_halfsplit(pos, inv, q)
     kr = L.rotary_halfsplit(pos, inv, k)
     ref = np.asarray(FA.flash_attention(qr, kr, v, valid_len=T), np.float32)
-    cos, sin = rotary_tables(TP, DTYPE)
+    return q, k, v, ref
+
+
+def parity_bhtd():
+    """Fused kernel must match the production block bitwise-closely (bf16)."""
+    q, k, v, ref = _parity_inputs()
+    cos, sin = rotary_tables(TP, DTYPE, signed=True)
     pad = ((0, 0), (0, 0), (0, TP - T), (0, 0))
     outh = fused_flash(jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
                        cos, sin, valid=T, bthd=False)[:, :, :T]
     d1 = np.abs(np.asarray(outh, np.float32) - ref).max()
+    print(f"parity fused-bhtd max|d| {d1:.2e} "
+          f"(bf16-table rotary vs f32 rotary: expect ~bf16 eps * |o|)", flush=True)
+
+
+def parity_bthd():
+    q, k, v, ref = _parity_inputs()
+    cos, sin = rotary_tables(TP, DTYPE, signed=True)
     qt = jnp.pad(q.transpose(0, 2, 1, 3), ((0, 0), (0, TP - T), (0, 0), (0, 0)))
     kt = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, TP - T), (0, 0), (0, 0)))
     vt = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, TP - T), (0, 0), (0, 0)))
     outt = fused_flash(qt, kt, vt, cos, sin, valid=T, bthd=True)[:, :T]
     d2 = np.abs(np.asarray(outt.transpose(0, 2, 1, 3), np.float32) - ref).max()
-    print(f"parity fused-bhtd max|d| {d1:.2e}  fused-bthd {d2:.2e} "
-          f"(bf16-table rotary vs f32 rotary: expect ~bf16 eps * |o|)", flush=True)
+    print(f"parity fused-bthd max|d| {d2:.2e}", flush=True)
 
 
 if __name__ == "__main__":
     retry(lambda: float(jnp.float32(jax.random.normal(jax.random.PRNGKey(0), (8, 8))[0, 0])),
           "first op", attempts=10)
     print(f"# platform={jax.devices()[0].platform} b2={B2}", flush=True)
-    retry(parity, "parity")
+    retry(parity_bhtd, "parity-bhtd", attempts=2)
+    retry(parity_bthd, "parity-bthd", attempts=2)
     for mode in ("prod", "norot", "tabrot", "fused-bhtd", "fused-bthd"):
-        retry(lambda m=mode: run(m), mode)
+        retry(lambda m=mode: run(m), mode, attempts=2)
