@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from covomix_tpu.models import layers as L
+from covomix_tpu.ops.flash_attention import attend_flash_or_xla
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,14 +117,25 @@ def conv_frontend(params, cfg: HubertConfig, wav: jnp.ndarray, dtype=jnp.float32
     return x
 
 
-def _encoder_layer(lp, x, heads, key_mask=None):
+def _encoder_layer(lp, x, heads, key_mask=None, valid_frames=None):
     """Post-LN transformer layer (wav2vec2 TransformerSentenceEncoderLayer,
-    layer_norm_first=False)."""
+    layer_norm_first=False).
+
+    `valid_frames` ([B] int) asserts key_mask is the PREFIX mask
+    arange < valid_frames — attention then rides the Pallas flash kernel on
+    TPU (per-row valid_len) instead of the masked-einsum path, which
+    materializes the f32 [B, H, T, T] score tensor in HBM (383 MB/layer at
+    the BASELINE-config-3 bench shape B=8, T=999). An arbitrary
+    (non-prefix) key_mask still takes the einsum path."""
     residual = x
     q = L.split_heads(L.linear(lp["q"], x), heads)
     k = L.split_heads(L.linear(lp["k"], x), heads)
     v = L.split_heads(L.linear(lp["v"], x), heads)
-    att = L.merge_heads(L.attend(q, k, v, key_mask=key_mask))
+    if key_mask is None or valid_frames is not None:
+        att = attend_flash_or_xla(q, k, v, valid_len=valid_frames)
+    else:
+        att = attend_flash_or_xla(q, k, v, key_mask=key_mask)
+    att = L.merge_heads(att)
     x = residual + L.linear(lp["out"], att)
     x = L.layernorm(lp["attn_ln"], x)
     residual = x
@@ -148,6 +160,7 @@ def extract_features(
     output_layer: Optional[int] = None,
     padding_mask: Optional[jnp.ndarray] = None,   # [B, frames] True = valid
     valid_samples=None,                           # [B] true sample counts (padded batches)
+    valid_frames=None,                            # [B] true frame counts (prefix masks only)
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """[B, T] 16 kHz waveform -> [B, frames, 768] layer-`output_layer` hiddens
@@ -156,7 +169,10 @@ def extract_features(
     `padding_mask` supports bucketed/batched extraction on TPU: padded frames
     are zeroed before the positional conv and masked out of attention,
     mirroring forward_padding_mask + index_put (hubert.py:427-431, wav2vec2.py
-    extract_features)."""
+    extract_features). When the mask is a PREFIX mask (all production callers:
+    right-padded batches), pass `valid_frames` ([B] int true frame counts) as
+    well — encoder attention then runs the Pallas flash kernel on TPU instead
+    of the HBM-bound masked einsum."""
     output_layer = output_layer or cfg.output_layer
     feats = conv_frontend(params, cfg, wav, dtype, valid_samples=valid_samples)
     feats = L.layernorm(params["layer_norm"], feats)
@@ -173,7 +189,8 @@ def extract_features(
     x = L.layernorm(params["encoder_layer_norm"], x)
 
     for li in range(output_layer):
-        x = _encoder_layer(params["layers"][li], x, cfg.encoder_heads, key_mask=padding_mask)
+        x = _encoder_layer(params["layers"][li], x, cfg.encoder_heads,
+                           key_mask=padding_mask, valid_frames=valid_frames)
     return x
 
 
@@ -196,9 +213,16 @@ def wav2units_jit(params, cfg: HubertConfig, wav: jnp.ndarray, padding_mask=None
     ids over the valid frames equal exact-length extraction bit-for-bit.
 
     Note: when cfg.normalize, the caller must layer-norm the *whole* utterance
-    before chunking (hubert_feature_reader.py:46-55 normalizes per file)."""
+    before chunking (hubert_feature_reader.py:46-55 normalizes per file).
+
+    padding_mask here is PREFIX by contract (right-padded batches — both
+    production callers build arange < frames_valid), so valid_frames derives
+    as mask.sum(-1) and attention rides the flash kernel on TPU."""
+    valid_frames = None if padding_mask is None else jnp.sum(
+        padding_mask.astype(jnp.int32), axis=-1)
     feats = extract_features(params, cfg, wav, padding_mask=padding_mask,
-                             valid_samples=valid_samples, dtype=dtype)
+                             valid_samples=valid_samples, valid_frames=valid_frames,
+                             dtype=dtype)
     return kmeans_assign(params, feats)
 
 
