@@ -141,6 +141,57 @@ def make_train_step(loss_fn: Callable, cfg: TrainConfig, donate: bool = True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def _multi_step_body(vg, tx, cfg: TrainConfig, k: int):
+    """Shared unrolled K-step body for make_multi_step / the sharded variant.
+
+    Returns step(state, batch, key, per_step=None) where batch leaves carry a
+    leading [K, ...] axis (one data batch per inner step) and per_step is an
+    optional hook applied to (grads, params, ema) trees each step (the sharded
+    variant pins shardings there). Metrics are stacked [K] so callers can log
+    any inner step."""
+
+    def step(state: TrainState, batch, key, per_step=None):
+        con = per_step or (lambda t: t)
+        losses, gnorms = [], []
+        for i in range(k):
+            mb = jax.tree_util.tree_map(lambda x: x[i], batch)
+            loss, grads = vg(state.params, mb, jax.random.fold_in(key, i))
+            grads = con(grads)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = con(optax.apply_updates(state.params, updates))
+            ema = con(ema_update(state.ema_params, params, state.ema_num_updates, cfg.ema_decay))
+            state = TrainState(params, opt_state, ema, state.ema_num_updates + 1, state.step + 1)
+            losses.append(loss)
+            gnorms.append(optax.global_norm(grads))
+        return state, {"loss": jnp.stack(losses), "grad_norm": jnp.stack(gnorms)}
+
+    return step
+
+
+def make_multi_step(loss_fn: Callable, cfg: TrainConfig, k: int, donate: bool = True):
+    """K optimizer steps python-UNROLLED inside ONE jitted dispatch.
+
+    Measured on v5e (tools/fori_probe.py, acoustic recipe shape bs8 x 800
+    bf16): 63.9 ms/step vs 79.4 ms per-step dispatch and 78.5 ms as a
+    lax.fori_loop — unrolling lets XLA software-pipeline across step
+    boundaries (step i's Adam/EMA elementwise tail overlaps step i+1's
+    forward matmuls), which both the host dispatch barrier and a loop
+    carry forgo. Bit-identical math to K make_train_step calls when fed the
+    same per-step batches/keys (keys: fold_in(key, i)).
+
+    Batch contract: every leaf carries a leading [K, ...] axis (stack K
+    loader batches); with cfg.grad_accum > 1 leaves are [K, A, b, ...].
+    Returned metrics are stacked [K]. Compile time and HLO size grow ~K-fold;
+    K in 2..8 is the useful range."""
+    if k < 2:
+        return make_train_step(loss_fn, cfg, donate=donate)
+    tx = make_optimizer(cfg)
+    vg = accumulated_value_and_grad(loss_fn, cfg.grad_accum)
+    body = _multi_step_body(vg, tx, cfg, k)
+    step = lambda state, batch, key: body(state, batch, key)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 # ---------------------------------------------------------------------------
 # per-model loss adapters (batch dict contract documented per model)
 

@@ -132,6 +132,41 @@ def test_grad_accum_sharded_matches_unsharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
 
 
+def test_multi_step_sharded_matches_unsharded_multi_step():
+    """make_sharded_multi_step(k=2) on the dp mesh ([K, b, ...] batches,
+    axis 1 sharded) == make_multi_step(k=2) on one device."""
+    from covomix_tpu.parallel.train_step import make_sharded_multi_step
+    from covomix_tpu.train.loop import make_multi_step
+
+    key = jax.random.PRNGKey(31)
+    params = jax.jit(A.init, static_argnums=1)(key, CFG)
+    cfg = TrainConfig(lr=1e-3)
+    loss_fn = acoustic_loss_fn(CFG)
+    K = 2
+    batch = {
+        "x": jax.random.normal(key, (K, 8, 16, 80)),
+        "phonemes": jax.random.randint(key, (K, 8, 16), 0, 502),
+        "mask": jnp.ones((K, 8, 16), bool),
+    }
+    k = jax.random.PRNGKey(32)
+
+    state0 = init_train_state(params, cfg)
+    step0 = make_multi_step(loss_fn, cfg, K, donate=False)
+    s0, m0 = step0(state0, batch, k)
+
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        state, p_shard = init_sharded_state(params, cfg, mesh, tp=False, fsdp=False)
+        step = make_sharded_multi_step(loss_fn, cfg, mesh, p_shard, K)
+        sbatch = shard_batch(mesh, jax.tree_util.tree_map(np.asarray, batch), lead=1)
+        s1, m1 = step(state, sbatch, k)
+    assert m1["loss"].shape == (K,)
+    np.testing.assert_allclose(np.asarray(m0["loss"]), np.asarray(m1["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params), jax.tree_util.tree_leaves(s1.params)):
+        # same psum reduction-order jitter allowance as the grad_accum test
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
 def test_make_mesh_rejects_tp_over_devices():
     with pytest.raises(AssertionError, match="tp=999"):
         make_mesh(tp=999)

@@ -205,6 +205,49 @@ def test_grad_accum_train_step_trajectory():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
 
 
+def test_multi_step_matches_sequential_single_steps():
+    """make_multi_step(k) == k make_train_step calls when fed the same
+    per-step batches and keys fold_in(key, i) (NOTES_r5.md §5: the unrolled
+    dispatch is a pure perf transform, bit-identical math)."""
+    from covomix_tpu.train.loop import acoustic_loss_fn, make_multi_step, make_train_step
+
+    K = 3
+    key = jax.random.PRNGKey(11)
+    params = A.init(key, CFG)
+    cfg = TrainConfig(lr=1e-3)
+    loss_fn = acoustic_loss_fn(CFG)
+    rs = np.random.RandomState(9)
+    T = 16
+    batches = [{
+        "x": jnp.asarray(rs.randn(2, T, 80).astype(np.float32)),
+        "phonemes": jnp.asarray(rs.randint(0, 502, (2, T))),
+        "mask": jnp.asarray(rs.rand(2, T) > 0.2),
+    } for _ in range(K)]
+    k = jax.random.PRNGKey(77)
+
+    s_ref = init_train_state(params, cfg)
+    step1 = make_train_step(loss_fn, cfg, donate=False)
+    ref_losses = []
+    for i in range(K):
+        s_ref, m = step1(s_ref, batches[i], jax.random.fold_in(k, i))
+        ref_losses.append(float(m["loss"]))
+
+    s_multi = init_train_state(params, cfg)
+    stepK = make_multi_step(loss_fn, cfg, K, donate=False)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    s_multi, mK = stepK(s_multi, stacked, k)
+
+    assert mK["loss"].shape == (K,)
+    np.testing.assert_allclose(np.asarray(mK["loss"]), ref_losses, rtol=1e-5)
+    assert int(s_multi.step) == K
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.ema_params),
+                    jax.tree_util.tree_leaves(s_multi.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
 def test_stack_microbatches_pads_with_collate_values():
     from covomix_tpu.data.datasets import stack_microbatches
 

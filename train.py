@@ -37,6 +37,11 @@ def build_argparser():
                    help="micro-batches accumulated per optimizer step (DDP-mean "
                         "semantics) — reproduce the reference's 8-GPU global batch "
                         "on fewer chips; --batch_size is the micro-batch size")
+    t.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="optimizer steps python-unrolled per jitted dispatch "
+                        "(~20%% faster on v5e: XLA software-pipelines across "
+                        "step boundaries, NOTES_r5.md §5); single-host "
+                        "dp/tp/fsdp only, useful range 2-8")
     t.add_argument("--sp", type=int, default=1, help="sequence-parallel shards (acoustic only; ring attention over 'sp')")
     t.add_argument("--fsdp", action="store_true", help="shard params over dp (ZeRO-style)")
     t.add_argument("--bmuf_sync", type=int, default=0,
@@ -232,6 +237,9 @@ def main():
     if args.grad_accum > 1 and (args.pp > 1 or args.sp > 1 or args.bmuf_sync or n_proc > 1):
         sys.exit("--grad_accum composes with single-host dp/tp/fsdp only (pp has its "
                  "own microbatching; bmuf accumulates via local steps)")
+    spd = max(1, args.steps_per_dispatch)
+    if spd > 1 and (args.pp > 1 or args.sp > 1 or args.bmuf_sync or n_proc > 1):
+        sys.exit("--steps_per_dispatch composes with single-host dp/tp/fsdp only")
     train_cfg = TrainConfig(lr=args.lr, ema_decay=args.ema_decay, use_lr_schedule=args.lr_scheduler,
                             total_epochs=args.total_epochs, wake_up_epochs=args.wake_up_epochs,
                             decay_start_epoch=args.decay_start_epoch, steps_per_epoch=steps_per_epoch,
@@ -302,7 +310,12 @@ def main():
         else:
             state, p_shard = init_sharded_state(params, train_cfg, mesh,
                                                 tp=args.tp > 1 and args.sp == 1, fsdp=args.fsdp)
-            step_fn = make_sharded_train_step(loss_fn_core, train_cfg, mesh, p_shard)
+            if spd > 1:
+                from covomix_tpu.parallel.train_step import make_sharded_multi_step
+
+                step_fn = make_sharded_multi_step(loss_fn_core, train_cfg, mesh, p_shard, spd)
+            else:
+                step_fn = make_sharded_train_step(loss_fn_core, train_cfg, mesh, p_shard)
 
         start_step = 0
         ckpt_dir = os.path.join(run_dir, "checkpoints")
@@ -354,11 +367,24 @@ def main():
         t_last, step_last = time.time(), start_step
         watchdog = Watchdog(timeout_s=1800.0, name=run_name)
         watchdog.__enter__()
-        for step_i in range(start_step, total_steps):
+        def crossed(done: int, every: int) -> bool:
+            # "done % every == 0" generalized to a dispatch of spd steps:
+            # true iff a multiple of `every` lies in (done - spd, done]
+            return done // every > (done - spd) // every
+
+        done = start_step
+        for step_i in range(start_step, total_steps, spd):
             if n_proc > 1:
                 # host-local rows -> global sharded arrays (no host ever
                 # materializes the full global batch)
                 batch = MH.global_batch_from_local(mesh, next(loader), args.batch_size)
+            elif spd > 1:
+                # [K(,A), b, ...]: stack spd per-step batches (each itself a
+                # grad_accum stack when accumulating)
+                one = (lambda: stack_microbatches([next(loader) for _ in range(args.grad_accum)])) \
+                    if args.grad_accum > 1 else (lambda: next(loader))
+                batch = shard_batch(mesh, stack_microbatches([one() for _ in range(spd)]),
+                                    lead=2 if args.grad_accum > 1 else 1)
             elif args.grad_accum > 1:
                 batch = shard_batch(mesh, stack_microbatches(
                     [next(loader) for _ in range(args.grad_accum)]), accum=True)
@@ -366,23 +392,26 @@ def main():
                 batch = shard_batch(mesh, next(loader))
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, batch, sub)
-            watchdog.beat(step_i + 1)
-            if (step_i + 1) % args.log_every == 0 and primary:
+            if spd > 1:  # stacked [K] metrics -> the dispatch's last step
+                metrics = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+            done = step_i + spd
+            watchdog.beat(done)
+            if crossed(done, args.log_every) and primary:
                 loss = float(metrics["loss"])
                 now = time.time()
-                sps = (step_i + 1 - step_last) / max(now - t_last, 1e-9)
-                t_last, step_last = now, step_i + 1
-                rec = {"epoch": (step_i + 1) // steps_per_epoch, "train_loss": loss,
+                sps = (done - step_last) / max(now - t_last, 1e-9)
+                t_last, step_last = now, done
+                rec = {"epoch": done // steps_per_epoch, "train_loss": loss,
                        "grad_norm": float(metrics["grad_norm"]), "steps_per_sec": round(sps, 3)}
-                print(json.dumps({"step": step_i + 1, **rec}), flush=True)
-                logger.log(step_i + 1, rec)
+                print(json.dumps({"step": done, **rec}), flush=True)
+                logger.log(done, rec)
             eval_metric = None
-            if args.num_eval_files and (step_i + 1) % args.eval_every == 0:
+            if args.num_eval_files and crossed(done, args.eval_every):
                 # split on EVERY rank: `key` feeds the globally-jitted train
                 # step as a replicated input, so a primary-only split would
                 # desynchronize it across hosts from the next step on
                 key, sub = jax.random.split(key)
-            if args.num_eval_files and (step_i + 1) % args.eval_every == 0 and primary:
+            if args.num_eval_files and crossed(done, args.eval_every) and primary:
                 eval_items = [val_dataset[i % len(val_dataset)]
                               for i in range(min(args.num_eval_files, len(val_dataset)))]
                 eval_batches = [collate(eval_items[i : i + args.batch_size]) for i in range(0, len(eval_items), args.batch_size)]
@@ -397,22 +426,23 @@ def main():
                 else:
                     ev = E.evaluate_acoustic(ema, model_cfg, eval_batches, sub, dtype=dtype)
                 print("eval:", json.dumps({k: float(v) for k, v in ev.items()}), flush=True)
-                logger.log(step_i + 1, ev, prefix="eval_")
+                logger.log(done, ev, prefix="eval_")
                 eval_metric = float(ev.get("l2", ev.get("loss", next(iter(ev.values())))))
-            if ((step_i + 1) % args.ckpt_every == 0 or eval_metric is not None) and primary:
+            if (crossed(done, args.ckpt_every) or eval_metric is not None) and primary:
                 # rank-0 writes (conditional on process_index; multihost with
                 # --fsdp would need a gather here — guarded at startup)
-                ckpt_mgr.save(jax.device_get(state), step_i + 1, metric=eval_metric)
-                save_canonical_ema(step_i + 1)
+                ckpt_mgr.save(jax.device_get(state), done, metric=eval_metric)
+                save_canonical_ema(done)
         watchdog.__exit__()
         # flush TB events (SummaryWriter's writer is a daemon thread with no
         # atexit flush — the last flush_secs of curves would vanish)
         logger.close()
 
+        final_step = max(total_steps, done)  # spd>1 may overshoot by < spd
         if primary:
-            ckpt_mgr.save(jax.device_get(state), total_steps)
-            save_canonical_ema(total_steps)
-            print(f"done: {total_steps} steps -> {ckpt_dir}")
+            ckpt_mgr.save(jax.device_get(state), final_step)
+            save_canonical_ema(final_step)
+            print(f"done: {final_step} steps -> {ckpt_dir}")
 
 
 if __name__ == "__main__":
