@@ -291,24 +291,34 @@ def child():
         """Production serving path: the whole T2S -> pack -> flow -> vocoder
         cascade as ONE jitted program (serving.BatchedPipeline fused=True) —
         one dispatch + one fetch per batch instead of a ~34 ms tunnel round
-        trip per stage. Wall includes the prompt upload."""
+        trip per stage. Inputs are pre-placed device-side (pipe.place()), the
+        same methodology as the staged measurement (which always timed
+        device-resident inputs); the one-time prompt upload is reported
+        separately as upload_s. A server keeps enrolled prompts resident."""
         text_ids = np.asarray(jax.random.randint(key, (B, 64), 1, 30000))
         prompt_tok = np.random.RandomState(0).randint(0, 500, (B, PROMPT)).astype(np.int32)
         prompt_mel = (np.random.RandomState(1).randn(B, PROMPT, 160) * 0.1).astype(np.float32)
-        wav, gen = retry(lambda: fused_pipe(jax.random.PRNGKey(10), text_ids,
-                                            prompt_tok, prompt_mel), f"B={B} fused warmup")
+        t0 = time.time()
+        placed = retry(lambda: fused_pipe.place(text_ids, prompt_tok, prompt_mel),
+                       f"B={B} prompt upload")
+        sync(placed[2])
+        upload_s = time.time() - t0
+        wav, gen = retry(lambda: fused_pipe(jax.random.PRNGKey(10), *placed),
+                         f"B={B} fused warmup")
         sync(wav)
         best = 1e9
         for i in range(runs):
             t0 = time.time()
-            wav, gen = fused_pipe(jax.random.PRNGKey(100 + i), text_ids, prompt_tok, prompt_mel)
+            wav, gen = fused_pipe(jax.random.PRNGKey(100 + i), *placed)
             sync(wav)
             best = min(best, time.time() - t0)
         audio_s = B * DECODE_LEN * 0.02
         rtf = best / audio_s
         print(f"# B={B} fused: best wall {best:.4f} s RTF {rtf:.5f} "
+              f"upload {upload_s:.3f} s "
               f"decoded_steps={int(np.asarray(gen.num_steps))}/{DECODE_LEN}", file=sys.stderr)
-        return {"rtf_fused": round(rtf, 5), "fused_wall_s": round(best, 4)}
+        return {"rtf_fused": round(rtf, 5), "fused_wall_s": round(best, 4),
+                "upload_s": round(upload_s, 4)}
 
     def measure_pipeline(B, runs):
         """Per-stage best wall at batch B (min over runs = steady state,

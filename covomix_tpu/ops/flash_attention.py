@@ -360,6 +360,18 @@ def _resolve_blocks(cfg, t, h, dtype):
         # the 16 MB scope. Explicit caller block configs are respected.
         tp1 = round_up(t, 128)
         if tp1 <= (2048 if dtype.itemsize <= 2 else 1024):
+            if t % 128 and t % 16 == 0 and t <= 1024 and dtype.itemsize <= 2:
+                # NO-PAD one-shot: Mosaic takes tp == t when t fits the bf16
+                # sublane tile (t % 16 == 0) — the [bq, t] f32 score
+                # intermediate's 912-wide lane dim resolves via masked vregs.
+                # Kills the per-call jnp.pad of q/k/v AND the padded-dot
+                # columns: 33.2 -> 25.8 ms/layer-call at the B=64 serving
+                # shape (b2=128, T=912, tools/attn_nopad_probe.py, v5e
+                # 2026-08-20), output BIT-IDENTICAL to the padded kernel.
+                # Single q-block (bq == t) with hb=2 measured best (25.8 vs
+                # 27.9 for bq=304/hb=4); f32 scores 2*t*t*4B <= 8.4 MB.
+                hb = 2 if h % 2 == 0 else 1
+                return t, t, hb, interpret, t
             # block_q 512 when it divides tp (47.8 -> 52.5 TFLOP/s at the B=64
             # serving shape, tools/attn_ctx_probe.py 2026-08-19); past tp=1024
             # the wider per-head f32 score rows overflow scoped VMEM with the
@@ -383,12 +395,24 @@ def _resolve_blocks(cfg, t, h, dtype):
     block_q = min(block_q, round_up(t, 128))
     block_k = min(block_k, round_up(t, 128))
     tp = round_up(t, max(block_q, block_k))
-    # shrink each block (in 128 steps; tp is a multiple of 128) until it
-    # divides tp — max(block_q, block_k) already does by construction
-    while tp % block_q:
-        block_q -= 128
-    while tp % block_k:
-        block_k -= 128
+
+    # shrink each block until it DIVIDES tp: the largest divisor of tp that
+    # is <= the requested block and a multiple of 16 (the bf16 sublane tile).
+    # The old bare -=128 loop hung at trace time for explicit non-128
+    # multiple overrides (e.g. a 304 q block against tp=1024: 304, 176, 48,
+    # then negative forever); stepping over divisors also admits the no-pad
+    # tp==t path (tp=912, block 304).
+    def _fit(b):
+        b = min(b, tp)
+        if tp % b == 0:
+            return b
+        for c in range(b - b % 16, 15, -16):
+            if tp % c == 0:
+                return c
+        return math.gcd(b, tp)   # degenerate shapes; correct, if slow
+
+    block_q = _fit(block_q)
+    block_k = _fit(block_k)
     while h % head_block:
         head_block -= 1
     return block_q, block_k, head_block, interpret, tp

@@ -157,6 +157,27 @@ def test_batched_pipeline_call_equals_direct(fused):
         assert np.isfinite(wav[i, : int(GEN_LENS[i]) * up]).all()
 
 
+def test_fused_placed_inputs_match_numpy_inputs():
+    """pipe(key, *pipe.place(...)) == pipe(key, numpy inputs): place() only
+    pre-uploads (the serving-bench methodology fix — per-call prompt upload
+    was ~0.5 s at B=64 through the tunnel), it must not change results."""
+    rs = np.random.RandomState(4)
+    key0 = jax.random.PRNGKey(0)
+    t2s_params = jax.jit(T.init, static_argnums=1)(key0, T2S_CFG)
+    ac_params = jax.jit(A.init, static_argnums=1)(jax.random.PRNGKey(1), AC_CFG)
+    voc_params = jax.jit(V.init_generator, static_argnums=1)(jax.random.PRNGKey(2), VOC_CFG)
+    pipe = BatchedPipeline(t2s_params, T2S_CFG, ac_params, AC_CFG, voc_params, VOC_CFG,
+                           decode_len=L, dtype=jnp.float32, fused=True)
+    prompt_tok = rs.randint(0, 500, (B, PMAX)).astype(np.int32)
+    prompt_mel = rs.randn(B, PMAX, 160).astype(np.float32) * 0.1
+    text_ids = rs.randint(1, 200, (B, 6))
+    key = jax.random.PRNGKey(9)
+    wav_np, _ = pipe(key, text_ids, prompt_tok, prompt_mel, prompt_lens=PROMPT_LENS)
+    placed = pipe.place(text_ids, prompt_tok, prompt_mel, prompt_lens=PROMPT_LENS)
+    wav_pl, _ = pipe(key, *placed)
+    np.testing.assert_array_equal(np.asarray(wav_np), np.asarray(wav_pl))
+
+
 def test_fused_matches_staged():
     """fused=True (the whole cascade as ONE jitted program, device-side
     packing) must reproduce fused=False (three dispatches, host-side numpy
