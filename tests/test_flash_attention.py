@@ -495,3 +495,57 @@ def test_attend_dispatch_rotary_falls_back_bit_identical_off_tpu():
     ref = attend(qr, kr, v)
     out = attend_flash_or_xla(q, k, v, rotary=(pos, inv))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_resolve_blocks_nopad_oneshot_decisions():
+    """Default-config one-shot block resolution: bf16 T=912/800 (sublane-tile
+    multiples, not lane multiples) run UNPADDED with bq=t/hb=2 (33.2 -> 25.8
+    ms/layer at the B=64 serving shape, tools/attn_nopad_probe.py); lane
+    multiples keep the measured bq512/hb4 config; T=300 still pads to 384."""
+    from covomix_tpu.ops.flash_attention import (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                                                 DEFAULT_HEAD_BLOCK, _resolve_blocks)
+
+    cfg = (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, DEFAULT_HEAD_BLOCK, False)
+    bf16 = jnp.dtype(jnp.bfloat16)
+    # serving T=912 and the acoustic training crop T=800: no pad, single block
+    for t in (912, 800):
+        bq, bk, hb, _, tp = _resolve_blocks(cfg, t, 16, bf16)
+        assert (bq, bk, tp, hb) == (t, t, t, 2), (t, bq, bk, hb, tp)
+    # lane-multiple T keeps the padded-path defaults (bq512/hb4 at tp<=1024)
+    bq, bk, hb, _, tp = _resolve_blocks(cfg, 1024, 16, bf16)
+    assert (bq, bk, tp, hb) == (512, 1024, 1024, 4)
+    # non-sublane-multiple T still pads (384) and one-shots
+    bq, bk, hb, _, tp = _resolve_blocks(cfg, 300, 16, bf16)
+    assert tp == 384 and bk == 384
+    # f32 stays on the padded path (VMEM bound unverified for no-pad f32)
+    bq, bk, hb, _, tp = _resolve_blocks(cfg, 912, 16, jnp.dtype(jnp.float32))
+    assert tp == 1024
+
+
+def test_resolve_blocks_explicit_non128_override_terminates():
+    """Regression: explicit non-128-multiple block overrides (e.g. the
+    backward's capped (304, 512) against tp=1024) made the old -=128 shrink
+    loop run forever at trace time; blocks must now land on divisors of tp."""
+    from covomix_tpu.ops.flash_attention import _resolve_blocks
+
+    bf16 = jnp.dtype(jnp.bfloat16)
+    bq, bk, hb, _, tp = _resolve_blocks((304, 512, 4, False), 912, 16, bf16)
+    assert tp % bq == 0 and tp % bk == 0
+    bq, bk, hb, _, tp = _resolve_blocks((300, 904, 4, False), 1200, 16, bf16)
+    assert tp % bq == 0 and tp % bk == 0
+
+
+def test_flash_nopad_oneshot_matches_einsum_bf16():
+    """The unpadded one-shot path (tp == t == 912) vs einsum, with a prefix
+    valid_len — the exact serving configuration the probe measured."""
+    key = jax.random.PRNGKey(17)
+    b, h, t, dh = 1, 4, 912, 64
+    q = jax.random.normal(key, (b, h, t, dh)).astype(jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, dh)).astype(jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, dh)).astype(jnp.bfloat16)
+    valid = 777
+    mask = jnp.arange(t)[None, :] < valid
+    ref = attend(q, k, v, key_mask=jnp.broadcast_to(mask, (b, t)))
+    out = flash_attention(q, k, v, valid_len=valid, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[:, :, :valid], np.float32),
+                               np.asarray(ref[:, :, :valid], np.float32), atol=3e-2)
