@@ -97,10 +97,36 @@ def main():
             state, loss = step_math(state, jax.random.fold_in(key, i))
         return loss, state.step
 
+    def bench_multi():
+        """The PRODUCTION make_multi_step (train/loop.py) at NSTEPS, fed
+        stacked copies of the batch — validates the committed feature, not
+        just the probe's hand-rolled unroll."""
+        from covomix_tpu.train.loop import make_multi_step
+        state = init_train_state(params, tcfg)
+        stepK = make_multi_step(loss_fn, tcfg, NSTEPS)
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (NSTEPS,) + x.shape), batch)
+        try:
+            state, m = stepK(state, stacked, jax.random.PRNGKey(6))
+            float(m["loss"][-1])
+        except Exception:
+            print(f"multi: FAILED\n{traceback.format_exc()}", flush=True)
+            return
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, m = stepK(state, stacked, jax.random.PRNGKey(6))
+            float(m["loss"][-1])
+            best = min(best, time.perf_counter() - t0)
+        print(f"multi (make_multi_step, donated): {best / NSTEPS * 1e3:.1f} ms/step", flush=True)
+
     table = {"fori": fori_full, "fori-noema": fori_noema,
              "scan": scan_full, "unroll": unroll}
     for v in variants:
-        bench_injit(table[v], v)
+        if v == "multi":
+            bench_multi()
+        else:
+            bench_injit(table[v], v)
 
 
 if __name__ == "__main__":
